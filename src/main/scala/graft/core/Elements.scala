@@ -1,0 +1,75 @@
+package graft.core
+
+/** Input element stream of the segmentation state machine.
+  *
+  * The reference consumes POI object models (style runs, alignment,
+  * indentation, table context, list ids — DocumentParser.java:809-994);
+  * our tokenizer derives an equivalent `Element` per line of a transcript
+  * turn (FIXTURES.md §2). Every attribute below drives a specific branch
+  * of the reference logic, cited at the declaration.
+  */
+
+/** A style run — per-run (text, bold) as tracked by the DOCX header
+  * predicate (DocumentParser.java:935-945,968-994).
+  *
+  * @param bold      explicit run-level bold (cTRPr.isSetB — :982-984);
+  *                  None = unset, falls back to styleBold XOR paragraphBold
+  *                  (:986-992)
+  * @param styleBold bold resolved from the run's character style chain
+  *                  (:973-977,949-966)
+  */
+final case class Run(text: String, bold: Option[Boolean] = None,
+                     styleBold: Boolean = false)
+
+sealed trait Align
+object Align {
+  case object Left extends Align
+  case object Center extends Align
+  case object Right extends Align
+}
+
+/** List reference — the DOCX numbering triple the prefix machine needs
+  * (DocumentParser.java:537-643).
+  *
+  * @param template  numLevelText, e.g. "%1.%2." (:571,:627-629)
+  * @param startAt   level start value; 0 = unset (:560,:614-617,:645-662)
+  */
+final case class ListRef(listId: Int, ilvl: Int, numFmt: String,
+                         template: String, startAt: Int)
+
+/** One paragraph-like element.
+  *
+  * @param runs            style runs (bold tracking, F3/F4)
+  * @param align           Center/Right => header (:904-906)
+  * @param indentRatio     indentationLeft/pageWidth; > 0.25 => header
+  *                        (:67,:899-901)
+  * @param styleBoldChain  bold flags of the enclosing paragraph/table style
+  *                        chain; paragraphBold = XOR-fold (:914-925)
+  * @param canBeHeader     override gate; Must models the page-break rule
+  *                        (:218,:452-453), CanNot is set by the segmenter
+  *                        for multi-column non-bilingual table rows
+  *                        (:443-458) — tokenizer-set Must wins
+  * @param listRef         numbering state key (A3)
+  * @param isToc           PAGEREF _Toc field => element skipped, header
+  *                        state reset (:54,:496-499,:708-716)
+  * @param boilerplate     tokenizer-classified boilerplate (HTML strip
+  *                        path) — same skip route as isToc, but recorded
+  *                        under its own span kind
+  */
+final case class Element(
+    text: String,
+    runs: Seq[Run] = Nil,
+    align: Align = Align.Left,
+    indentRatio: Float = 0f,
+    styleBoldChain: Seq[Boolean] = Nil,
+    canBeHeader: Option[CanBeHeader] = None,
+    listRef: Option[ListRef] = None,
+    isToc: Boolean = false,
+    boilerplate: Boolean = false)
+
+/** Body-element stream: paragraphs or tables (BodyElementType dispatch,
+  * DocumentParser.java:404-475). A table is rows -> cells -> paragraphs.
+  */
+sealed trait BodyElement
+final case class ParaElement(el: Element) extends BodyElement
+final case class TableElement(rows: Seq[Seq[Seq[Element]]]) extends BodyElement

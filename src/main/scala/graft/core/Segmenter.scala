@@ -1,0 +1,406 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** The per-turn segmentation state machine.
+  *
+  * A faithful re-expression of the reference's DOCX element fold
+  * (DocumentParser.java:210-220,404-535) plus the shared post-passes
+  * (:243-296) and document-type classification (:368-402). The whole
+  * machine is pure per turn: one `Element` stream in, one `MultiDoc` out;
+  * no state crosses turns, which is the correctness argument for running
+  * it inside `mapPartitions` at any parallelism (SURVEY.md §3.4).
+  *
+  * Offset semantics (SURVEY.md §2.3): header/body segment offsets are a
+  * running `globalOffset` advanced by `element.text.length` after each
+  * paragraph element — including table-cell paragraphs (the recursion at
+  * DocumentParser.java:443-459 passes the same accumulator object, so the
+  * PARAGRAPH branch at :472 advances it for cell paragraphs too). The
+  * emitted list prefix is NOT counted (quirk, :508 vs :472).
+  */
+object Segmenter {
+
+  // --- patterns (DocumentParser.java:52-62) ---
+  private val possibleSubDocuments: Seq[Regex] = Seq(
+    "^\\s*приложение".r,
+    "^\\s*дополнительное\\s+соглашение".r)
+  private val alphabetPattern: Regex = "[A-Za-zА-Яа-я0-9]{5,}".r
+  private val alphabetUpperCasePattern: Regex = "[A-ZА-Я]{5,}".r
+  private val ruAlphabetPattern: Regex = "[А-Яа-я]{5,}".r
+  private val engAlphabetPattern: Regex = "[A-Za-z]{5,}".r
+  private val valuableSymbolPattern: Regex = "[A-Za-zА-Яа-я]".r
+  private val endStringPattern: Regex = "\r|\n".r
+  private val notHeaderPattern: Regex = "решение +принято".r
+
+  // --- constants (DocumentParser.java:63-68) ---
+  private val maxHeaderLength = 1000
+  private val minHeaderIndentationLeft = 0.25f
+  private val maxDocTypeDetectionHeaders = 5
+
+  /** keyword -> DocumentType (DocumentParser.java:37-50). The reference
+    * stores these in a HashMap whose iteration order only matters for
+    * exact-offset ties (strict `>` at :377); we fix declaration order.
+    * Matched against lowercased text (:375,:390).
+    */
+  private val keyToDocType: Seq[(Regex, String)] = Seq(
+    "договор([^А-Яа-я]|$)".r -> DocType.CONTRACT,
+    "у *с *т *а *в([^А-Яа-я]|$)".r -> DocType.CHARTER,
+    "протокол([^А-Яа-я]|$)".r -> DocType.PROTOCOL,
+    "положение([^А-Яа-я]|$)".r -> DocType.REGULATION,
+    "приказ([^А-Яа-я]|$)".r -> DocType.ORDER,
+    "план работ([^А-Яа-я]|$)".r -> DocType.WORK_PLAN,
+    "дополнительное\\s+соглашение([^А-Яа-я]|$)".r -> DocType.SUPPLEMENTARY_AGREEMENT,
+    "приложение([^А-Яа-я]|$)".r -> DocType.ANNEX,
+    "контракт([^А-Яа-я]|$)".r -> DocType.CONTRACT,
+    "решение([^А-Яа-я]|$)".r -> DocType.PROTOCOL,
+    "соглашение([^А-Яа-я]|$)".r -> DocType.AGREEMENT)
+
+  // --- mutable builders, scoped to one turn's fold ---
+  private final class ParaBuilder {
+    var header: SegBuilder = SegBuilder.empty
+    var body: SegBuilder = SegBuilder.empty
+  }
+  private final class DocBuilder {
+    val paras: ArrayBuffer[ParaBuilder] = new ArrayBuffer[ParaBuilder]
+    var docType: String = DocType.UNKNOWN
+  }
+
+  /** Fold accumulator ~ ElementResult (DocumentParser.java:1002-1023). */
+  private final class State {
+    val docs: ArrayBuffer[DocBuilder] = ArrayBuffer(new DocBuilder)
+    val spans: ArrayBuffer[Span] = new ArrayBuffer[Span]
+    var isPrevHeader = false
+    var isPageBreak = false
+    var currentParagraph: ParaBuilder = _
+    var globalOffset = 0
+    var emptyParagraphsBefore = 0
+    val listNumbers = scala.collection.mutable.Map.empty[Int, ListNumber]
+  }
+
+  /** Segment one turn's element stream into documents + spans. */
+  def segment(elements: Iterable[BodyElement],
+              version: String = graft.BuildInfo.version): MultiDoc = {
+    val st = new State
+    var canBeHeader: CanBeHeader = CanBeHeader.Can
+    for (element <- elements) {
+      processBodyElement(element, st, canBeHeader)
+      canBeHeader =
+        if (st.isPageBreak) CanBeHeader.Must else CanBeHeader.Can
+    }
+    checkDocumentStructure(st)
+    for (doc <- st.docs if doc.paras.nonEmpty) findDocumentType(doc)
+    postProcessDocument(st)
+    val docs = st.docs.toSeq.map { d =>
+      Doc(d.docType, d.paras.toSeq.map(p => Para(p.header.toSeg, p.body.toSeg)))
+    }
+    val segSpans = docs.flatMap(_.paragraphs).flatMap { p =>
+      val h = if (p.header.offset >= 0)
+        Seq(Span("header", p.header.offset, p.header.length)) else Nil
+      val b = if (p.body.offset >= 0)
+        Seq(Span("body", p.body.offset, p.body.length)) else Nil
+      h ++ b
+    }
+    MultiDoc(docs, segSpans ++ st.spans.toSeq, version)
+  }
+
+  /** ~ processBodyElement (DocumentParser.java:404-475). */
+  private def processBodyElement(element: BodyElement, st: State,
+                                 canBeHeader: CanBeHeader): Unit = {
+    // the reference captures the last document at entry and uses it for
+    // the CAN/CAN_NOT re-derivation inside the table row loop (:406,:456)
+    val docAtEntry = st.docs.last
+    element match {
+      case TableElement(rows) =>
+        // constant-column detection (:415-426)
+        var prevNumCells = -1
+        var constantColumnNumber = true
+        for (row <- rows) {
+          if (constantColumnNumber && prevNumCells != -1 &&
+              prevNumCells != row.size && row.nonEmpty) {
+            constantColumnNumber = false
+          }
+          if (row.nonEmpty) prevNumCells = row.size
+        }
+        // bilingual probe: first row whose both cells are non-blank (:427-442)
+        var bilingual = false
+        if (constantColumnNumber && prevNumCells == 2) {
+          var probed = false
+          for (row <- rows if !probed) {
+            val c1 = row(0).map(_.text).mkString
+            val c2 = row(1).map(_.text).mkString
+            if (c1.trim.nonEmpty && c2.trim.nonEmpty) {
+              bilingual = isBilingual(c1, c2)
+              probed = true
+            }
+          }
+        }
+        // cell traversal with the CanBeHeader gate (:443-461)
+        for (row <- rows) {
+          var cbh: CanBeHeader =
+            if (row.size == 1 || bilingual) CanBeHeader.Can
+            else CanBeHeader.CanNot
+          for (cell <- row; para <- cell) {
+            processBodyElement(ParaElement(para), st, cbh)
+            cbh =
+              if (st.isPageBreak) CanBeHeader.Must
+              else if (st.isPrevHeader || docAtEntry.paras.isEmpty ||
+                       row.size == 1 || bilingual) CanBeHeader.Can
+              else CanBeHeader.CanNot
+          }
+        }
+      case ParaElement(el) =>
+        // tokenizer-set gate (page-break markup) wins over the caller's
+        val gate = el.canBeHeader.getOrElse(canBeHeader)
+        processParagraph(el, st, gate)
+        st.globalOffset += el.text.length // :472 (prefix not counted)
+    }
+  }
+
+  /** ~ processXWPFParagraph (DocumentParser.java:477-535). */
+  private def processParagraph(el: Element, st: State,
+                               canBeHeader: CanBeHeader): Unit = {
+    var doc = st.docs.last
+    if (isSubDocument(el, doc, canBeHeader)) { // :484-488
+      doc = new DocBuilder
+      st.docs += doc
+      st.isPrevHeader = false
+    }
+    if (el.text.trim.isEmpty) st.emptyParagraphsBefore += 1 // :489-494
+    else st.emptyParagraphsBefore = 0
+    if (doc.paras.nonEmpty || el.text.trim.nonEmpty) { // :495
+      if (el.isToc || el.boilerplate) { // :496-499 (+ our HTML-strip route)
+        val kind = if (el.isToc) "toc" else "boilerplate"
+        st.spans += Span(kind, st.globalOffset, el.text.length)
+        st.isPrevHeader = false
+        return
+      }
+      val prefix = numberPrefix(el, st.listNumbers) // :500
+      val isHdr =
+        (st.docs.size == 1 && doc.paras.isEmpty) || // :501
+        canBeHeader == CanBeHeader.Must ||
+        (canBeHeader != CanBeHeader.CanNot && isHeader(el))
+      if (isHdr) { // :503-514
+        if (st.isPrevHeader) {
+          st.currentParagraph.header.addText(prefix + el.text)
+        } else {
+          st.currentParagraph = new ParaBuilder
+          doc.paras += st.currentParagraph
+          st.currentParagraph.header =
+            new SegBuilder(st.globalOffset, prefix + el.text)
+        }
+        if (st.currentParagraph.header.text.trim.nonEmpty) {
+          st.isPageBreak = false
+        }
+        st.isPrevHeader = true
+      } else { // :515-531
+        if (doc.paras.isEmpty) { // un-split backtrack (:516-519)
+          st.docs.remove(st.docs.size - 1)
+          doc = st.docs.last
+        }
+        if (st.currentParagraph == null) {
+          st.currentParagraph = new ParaBuilder
+          doc.paras += st.currentParagraph
+        }
+        if (st.currentParagraph.body.offset == -1) {
+          st.currentParagraph.body =
+            new SegBuilder(st.globalOffset, prefix + el.text)
+        } else {
+          st.currentParagraph.body.addText(prefix + el.text)
+        }
+        st.isPrevHeader = false
+      }
+    }
+    // blank leading paragraph: pass-through, state unchanged (:533-534)
+  }
+
+  /** ~ isSubDocument DOCX variant (DocumentParser.java:680-693). */
+  private def isSubDocument(el: Element, doc: DocBuilder,
+                            canBeHeader: CanBeHeader): Boolean = {
+    if (allBodiesEmpty(doc)) return false // :695-702 gate
+    val gateOk = canBeHeader == CanBeHeader.Must ||
+      (canBeHeader == CanBeHeader.Can && isHeader(el))
+    if (!gateOk) return false
+    val lower = el.text.toLowerCase
+    possibleSubDocuments.exists(_.findFirstIn(lower).isDefined)
+  }
+
+  private def allBodiesEmpty(doc: DocBuilder): Boolean =
+    doc.paras.forall(_.body.text.trim.isEmpty)
+
+  /** Header predicate ~ isHeader DOCX variant (DocumentParser.java:885-947).
+    * Order of checks is load-bearing: indent, then alignment, then the
+    * >=5-alphanumerics gate, then all-runs-bold (with the XOR style-chain
+    * inheritance) OR whole-paragraph-capitalized.
+    */
+  def isHeader(el: Element): Boolean = {
+    if (el.indentRatio > minHeaderIndentationLeft) return true // :899-901
+    if (el.align == Align.Center || el.align == Align.Right) return true // :904-906
+    if (alphabetPattern.findFirstIn(el.text).isEmpty) return false // :909-912
+    // paragraphBold = XOR-fold over the enclosing style chain (:918-921)
+    val paragraphBold = el.styleBoldChain.foldLeft(false)(_ ^ _)
+    // whole-paragraph caps check (:929-934)
+    val upper = el.text.toUpperCase
+    var allCapitalized = el.text == upper &&
+      alphabetUpperCasePattern.findFirstIn(upper).isDefined
+    var allBold = true
+    val it = el.runs.iterator
+    while (it.hasNext && (allBold || allCapitalized)) { // :935-945
+      val run = it.next()
+      if (run.text.trim.nonEmpty) {
+        val effBold = run.bold.getOrElse(run.styleBold ^ paragraphBold)
+        if (!effBold && valuableSymbolPattern.findFirstIn(run.text).isDefined) {
+          allBold = false
+        }
+      }
+    }
+    allBold || allCapitalized
+  }
+
+  /** ~ isBilingual (DocumentParser.java:734-743). */
+  def isBilingual(text1: String, text2: String): Boolean =
+    (ruAlphabetPattern.findFirstIn(text1).isDefined &&
+      engAlphabetPattern.findFirstIn(text2).isDefined) ||
+    (ruAlphabetPattern.findFirstIn(text2).isDefined &&
+      engAlphabetPattern.findFirstIn(text1).isDefined)
+
+  /** List-number prefix ~ getNumberPrefix (DocumentParser.java:537-643).
+    * Returns "" or "<prefix> " (trailing-space rule at :642).
+    */
+  private def numberPrefix(
+      el: Element,
+      listNumbers: scala.collection.mutable.Map[Int, ListNumber]): String = {
+    el.listRef match {
+      case None => ""
+      case Some(ref) =>
+        // root is created with the FIRST-SEEN ilvl as its level (:550 quirk)
+        val root = listNumbers.getOrElseUpdate(
+          ref.listId, new ListNumber(ref.ilvl, ref.numFmt))
+        var current = root
+        for (i <- 0 until ref.ilvl) { // :554-559
+          if (current.subNumber == null) {
+            current.subNumber = new ListNumber(i + 1, ref.numFmt)
+          }
+          current = current.subNumber
+        }
+        if (ref.startAt > current.number) current.overrideNumber(ref.startAt)
+        else current.incrementNumber() // :560-566
+        val prefix =
+          if (ref.numFmt == "bullet") "•" // :567-569
+          else { // template substitution with zero backfill (:570-583)
+            var p = if (ref.template == null) "" else ref.template
+            var ln = root
+            var i = 1
+            while (i <= current.level + 1 && ln != null) {
+              if (ln.number == 0) ln.overrideNumber(1, resetSubs = false)
+              p = p.replace("%" + i, ln.number.toString)
+              ln = ln.subNumber
+              i += 1
+            }
+            p
+          }
+        if (prefix.isEmpty) prefix else prefix + " " // :642
+    }
+  }
+
+  /** Post-pass 1 ~ checkDocumentStructure (DocumentParser.java:243-276):
+    * drop empty documents; split over-long headers at the first newline;
+    * fold blank-header paragraphs into the previous body.
+    */
+  private def checkDocumentStructure(st: State): Unit = {
+    st.docs.filterInPlace(_.paras.nonEmpty) // :246-249
+    for (doc <- st.docs) {
+      var previous: ParaBuilder = null
+      val kept = new ArrayBuffer[ParaBuilder]
+      for (p <- doc.paras) {
+        if (p.header.length > maxHeaderLength) { // :253-263
+          val longHeader = p.header.text
+          endStringPattern.findFirstMatchIn(longHeader).foreach { m =>
+            val shortHeader = longHeader.substring(0, m.start)
+            // direct concat, not addText (:258)
+            val newBody = longHeader.substring(m.start) + p.body.text
+            p.header = new SegBuilder(p.header.offset, shortHeader)
+            p.body =
+              new SegBuilder(p.header.offset + p.header.length, newBody)
+          }
+        }
+        if (p.header.text.trim.isEmpty) { // :265-270
+          if (p.body.text.trim.nonEmpty && previous != null) {
+            previous.body.addText(p.body.text)
+          }
+          // paragraph dropped
+        } else {
+          previous = p
+          kept += p
+        }
+      }
+      doc.paras.clear()
+      doc.paras ++= kept
+    }
+  }
+
+  /** Post-pass 2 ~ postProcessDocument (DocumentParser.java:278-296):
+    * PROTOCOL-only demotion of "решение принято" headers into the
+    * previous paragraph's body (header then body, both via addText — an
+    * empty body still appends one separator, reproduced faithfully).
+    */
+  private def postProcessDocument(st: State): Unit = {
+    for (doc <- st.docs if doc.docType == DocType.PROTOCOL) {
+      var previous: ParaBuilder = null
+      val kept = new ArrayBuffer[ParaBuilder]
+      for (p <- doc.paras) {
+        val demote = notHeaderPattern
+          .findFirstIn(p.header.text.toLowerCase).isDefined && previous != null
+        if (demote) {
+          previous.body.addText(p.header.text)
+          previous.body.addText(p.body.text)
+        } else {
+          previous = p
+          kept += p
+        }
+      }
+      doc.paras.clear()
+      doc.paras ++= kept
+    }
+  }
+
+  /** ~ findDocumentType (DocumentParser.java:368-402): earliest absolute
+    * offset over the first 5 paragraph headers wins, CHARTER always wins;
+    * fall back to bodies only if still UNKNOWN.
+    */
+  private def findDocumentType(doc: DocBuilder): Unit = {
+    var result = DocType.UNKNOWN
+    var firstOccurrence = Int.MaxValue
+    def scan(seg: ParaBuilder => SegBuilder): Unit = {
+      var i = 0
+      while (i < doc.paras.size && i < maxDocTypeDetectionHeaders) {
+        val s = seg(doc.paras(i))
+        val lower = s.text.toLowerCase
+        for ((pattern, docType) <- keyToDocType) {
+          pattern.findFirstMatchIn(lower).foreach { m =>
+            val abs = m.start + s.offset
+            if ((firstOccurrence > abs && result != DocType.CHARTER) ||
+                docType == DocType.CHARTER) {
+              result = docType
+              firstOccurrence = abs
+            }
+          }
+        }
+        i += 1
+      }
+    }
+    scan(_.header)
+    if (result == DocType.UNKNOWN) scan(_.body)
+    doc.docType = result
+  }
+
+  /** Concatenated main content for the per-turn text-equality check:
+    * non-empty header/body texts of all documents joined with "\n".
+    */
+  def extractedText(md: MultiDoc): String =
+    md.documents.iterator
+      .flatMap(_.paragraphs.iterator)
+      .flatMap(p => Iterator(p.header.text, p.body.text))
+      .filter(_.nonEmpty)
+      .mkString(SegBuilder.LineSep)
+}

@@ -1,0 +1,140 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** Turn-text tokenizer: one transcript turn's `text` -> `BodyElement`
+  * stream for the segmenter.
+  *
+  * The reference derives element attributes from POI object models; for
+  * plain-text transcript turns we derive them from a small deterministic
+  * line markup (FIXTURES.md §2), so every style path of the state machine
+  * is reachable from a string:
+  *
+  *   - `**bold**`     -> bold style run
+  *   - `^C ` / `^R `  -> center / right alignment (header route :904-906)
+  *   - `^B `          -> paragraph style-chain bold (XOR chain :914-925)
+  *   - `^P `          -> page-break-before => CanBeHeader.Must (:218)
+  *   - `>>>> `        -> indentRatio 0.3 (> 0.25 threshold :67,:899)
+  *   - `|a|b|`        -> table row (consecutive lines form one table);
+  *                       `||` inside a cell separates cell paragraphs
+  *   - `#N(id,lvl[,start[,template]]) ` -> numbered list item
+  *   - `#B(id,lvl) ` or `#B `          -> bullet list item
+  *   - `[TOC]`        -> table-of-contents field (skip route :496-499)
+  *
+  * HTML-looking turns are routed through [[HtmlExtract]] by the pipeline
+  * before reaching this tokenizer.
+  */
+object Tokenizer {
+
+  private val tableRow: Regex = "^\\|(.*)\\|$".r
+  private val numList: Regex =
+    "^#N\\((\\d+),(\\d+)(?:,(\\d+))?(?:,([^)]*))?\\)\\s".r
+  private val bulletList: Regex = "^#B(?:\\((\\d+),(\\d+)\\))?\\s".r
+  private val boldRun: Regex = "\\*\\*(.*?)\\*\\*".r
+
+  def tokenize(text: String): Seq[BodyElement] = {
+    val lines = text.split("\r?\n", -1)
+    val out = new ArrayBuffer[BodyElement]
+    val pendingTable = new ArrayBuffer[Seq[Seq[Element]]]
+    def flushTable(): Unit = {
+      if (pendingTable.nonEmpty) {
+        out += TableElement(pendingTable.toSeq)
+        pendingTable.clear()
+      }
+    }
+    for (line <- lines) {
+      tableRow.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val cells = splitCells(m.group(1)).map { cellText =>
+            // `||` never survives splitCells; cell paragraphs split on "¶"
+            cellText.split("¶", -1).toSeq.map(parseLine)
+          }
+          pendingTable += cells
+        case None =>
+          flushTable()
+          out += ParaElement(parseLine(line))
+      }
+    }
+    flushTable()
+    out.toSeq
+  }
+
+  /** Split a table-row interior on single `|` (cells). */
+  private def splitCells(interior: String): Seq[String] =
+    interior.split("\\|", -1).toSeq
+
+  /** Parse one line's markup prefixes + bold runs into an Element. */
+  def parseLine(line: String): Element = {
+    var rest = line
+    var align: Align = Align.Left
+    var indent = 0f
+    var styleBold = List.empty[Boolean]
+    var cbh: Option[CanBeHeader] = None
+    var listRef: Option[ListRef] = None
+    var isToc = false
+    var changed = true
+    while (changed) {
+      changed = false
+      if (rest.startsWith("^C ")) { align = Align.Center; rest = rest.drop(3); changed = true }
+      else if (rest.startsWith("^R ")) { align = Align.Right; rest = rest.drop(3); changed = true }
+      else if (rest.startsWith("^B ")) { styleBold = true :: styleBold; rest = rest.drop(3); changed = true }
+      else if (rest.startsWith("^P ")) { cbh = Some(CanBeHeader.Must); rest = rest.drop(3); changed = true }
+      else if (rest.startsWith(">>>> ")) { indent = 0.3f; rest = rest.drop(5); changed = true }
+      else {
+        numList.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            val lvl = m.group(2).toInt
+            val start = Option(m.group(3)).map(_.toInt).getOrElse(1)
+            val tpl = Option(m.group(4)).getOrElse(
+              (1 to lvl + 1).map(i => s"%$i").mkString(".") + ".")
+            listRef = Some(ListRef(m.group(1).toInt, lvl, "decimal", tpl, start))
+            rest = rest.drop(m.end)
+            changed = true
+          case None =>
+            bulletList.findFirstMatchIn(rest) match {
+              case Some(m) =>
+                val id = Option(m.group(1)).map(_.toInt).getOrElse(-1)
+                val lvl = Option(m.group(2)).map(_.toInt).getOrElse(0)
+                listRef = Some(ListRef(id, lvl, "bullet", "", 1))
+                rest = rest.drop(m.end)
+                changed = true
+              case None => ()
+            }
+        }
+      }
+    }
+    if (rest.contains("[TOC]")) {
+      isToc = true
+      rest = rest.replace("[TOC]", "")
+    }
+    val (plainText, runs) = parseRuns(rest)
+    Element(plainText, runs, align, indent, styleBold, cbh, listRef, isToc)
+  }
+
+  /** `**bold**` spans -> bold runs; everything else -> unset-bold runs
+    * (falling back to styleBold XOR paragraphBold, :986-992).
+    */
+  private def parseRuns(s: String): (String, Seq[Run]) = {
+    val runs = new ArrayBuffer[Run]
+    val plain = new StringBuilder
+    var last = 0
+    for (m <- boldRun.findAllMatchIn(s)) {
+      if (m.start > last) {
+        val t = s.substring(last, m.start)
+        runs += Run(t)
+        plain ++= t
+      }
+      runs += Run(m.group(1), bold = Some(true))
+      plain ++= m.group(1)
+      last = m.end
+    }
+    if (last < s.length) {
+      val t = s.substring(last)
+      runs += Run(t)
+      plain ++= t
+    }
+    if (runs.isEmpty && s.isEmpty) (s, Seq.empty)
+    else (plain.toString, runs.toSeq)
+  }
+}
