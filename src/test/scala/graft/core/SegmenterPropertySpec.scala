@@ -1,0 +1,110 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property suite per FIXTURES.md §5 — deterministic seeded generation
+  * (seed fixed, no wall clock), 300 random turns per property.
+  */
+class SegmenterPropertySpec extends AnyFunSuite {
+
+  private val ruWords = Vector("договор", "приложение", "протокол", "устав",
+    "решение", "тело", "текст", "пункт", "раздел", "соглашение", "сторона")
+  private val enWords = Vector("hello", "world", "clause", "section", "body",
+    "agreement", "annex", "header", "content", "terms")
+
+  private def genLine(rnd: Random): String = {
+    val words = (0 until 1 + rnd.nextInt(6)).map { _ =>
+      val w = if (rnd.nextBoolean()) ruWords(rnd.nextInt(ruWords.size))
+              else enWords(rnd.nextInt(enWords.size))
+      rnd.nextInt(4) match {
+        case 0 => w.toUpperCase
+        case 1 => s"**$w**"
+        case _ => w
+      }
+    }
+    val base = words.mkString(" ")
+    rnd.nextInt(10) match {
+      case 0 => s"^C $base"
+      case 1 => s"^R $base"
+      case 2 => s">>>> $base"
+      case 3 => s"#N(${rnd.nextInt(3)},${rnd.nextInt(3)}) $base"
+      case 4 => s"#B $base"
+      case 5 => s"[TOC] $base"
+      case 6 => ""
+      case 7 => s"|$base|${enWords(rnd.nextInt(enWords.size))}|"
+      case _ => base
+    }
+  }
+
+  private def genTurn(rnd: Random): String =
+    (0 until rnd.nextInt(20)).map(_ => genLine(rnd)).mkString("\n")
+
+  private def forAllTurns(seed: Long, n: Int)(check: (String, MultiDoc) => Unit): Unit = {
+    val rnd = new Random(seed)
+    for (_ <- 0 until n) {
+      val turn = genTurn(rnd)
+      val md = Segmenter.segment(Tokenizer.tokenize(turn))
+      check(turn, md)
+    }
+  }
+
+  test("p1 determinism: segment(x) == segment(x)") {
+    forAllTurns(42L, 300) { (turn, md) =>
+      val again = Segmenter.segment(Tokenizer.tokenize(turn))
+      assert(md == again, s"non-deterministic for:\n$turn")
+    }
+  }
+
+  test("p2 segment invariants: length==text.length, offsets in range") {
+    forAllTurns(43L, 300) { (turn, md) =>
+      val total = turn.length + 16 // prefixes can only shrink markup text
+      for (d <- md.documents; p <- d.paragraphs; s <- Seq(p.header, p.body)) {
+        assert(s.length == s.text.length, s"len mismatch for:\n$turn")
+        assert(s.offset >= -1 && s.offset <= total, s"offset oob for:\n$turn")
+        if (s.offset == -1) assert(s.text.isEmpty)
+      }
+    }
+  }
+
+  test("p3 structural invariants: no empty docs, no blank headers") {
+    forAllTurns(44L, 300) { (turn, md) =>
+      for (d <- md.documents) {
+        assert(d.paragraphs.nonEmpty, s"empty doc for:\n$turn")
+        for (p <- d.paragraphs)
+          assert(p.header.text.trim.nonEmpty, s"blank header for:\n$turn")
+      }
+    }
+  }
+
+  test("p4 no numbering placeholder leakage (%N) in output") {
+    forAllTurns(45L, 300) { (turn, md) =>
+      val txt = Segmenter.extractedText(md)
+      assert(!"%\\d".r.findFirstIn(txt).isDefined, s"placeholder leak:\n$turn")
+    }
+  }
+
+  test("p5 reassembly: non-markup plain turns reassemble exactly") {
+    val rnd = new Random(46L)
+    for (_ <- 0 until 300) {
+      val lines = (0 until 1 + rnd.nextInt(12)).map { _ =>
+        (0 until 1 + rnd.nextInt(5))
+          .map(_ => enWords(rnd.nextInt(enWords.size))).mkString(" ")
+      }
+      val turn = lines.mkString("\n")
+      val md = Segmenter.segment(Tokenizer.tokenize(turn))
+      // plain lowercase lines: first becomes the header, rest join the body
+      assert(Segmenter.extractedText(md) == turn)
+    }
+  }
+
+  test("p6 doc type is always a known enum name") {
+    val known = Set(DocType.UNKNOWN, DocType.CONTRACT, DocType.CHARTER,
+      DocType.PROTOCOL, DocType.REGULATION, DocType.CHARITY_POLICY,
+      DocType.ORDER, DocType.WORK_PLAN, DocType.SUPPLEMENTARY_AGREEMENT,
+      DocType.ANNEX, DocType.AGREEMENT)
+    forAllTurns(47L, 300) { (turn, md) =>
+      for (d <- md.documents) assert(known.contains(d.docType))
+    }
+  }
+}
