@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines.
+  * Everything here is built from `org.apache.spark.sql.functions._` so it
+  * stays inside whole-stage codegen (no UDFs in the hot path) and pushes
+  * through Catalyst untouched.
+  */
+object TextStats {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Characters matching a class, via strip-and-measure (codegen'd). */
+  def charsMatching(c: Column, charClassRegex: String): Column =
+    length(c) - length(regexp_replace(c, charClassRegex, ""))
+
+  def cyrillicChars(c: Column): Column = charsMatching(c, "[а-яА-ЯёЁ]")
+  def latinChars(c: Column): Column = charsMatching(c, "[a-zA-Z]")
+  def digitChars(c: Column): Column = charsMatching(c, "[0-9]")
+
+  /** Cheap script-based language id (SQL-expressible tier; the n-gram
+    * tier lives in [[LangId]]).
+    */
+  def langIdScript(c: Column): Column =
+    when(cyrillicChars(c) > latinChars(c), lit("ru"))
+      .when(latinChars(c) > 0, lit("en"))
+      .otherwise(lit("unknown"))
+
+  /** Shallow quality features (length / punctuation / token shape) —
+    * the standard pre-training quality gates.
+    */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise((cyrillicChars(c) + latinChars(c)).cast("double") / length(c))
+
+  def digitRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(digitChars(c).cast("double") / length(c))
+
+  def avgTokenLen(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(c), "\\s+", "")).cast("double")
+        / tokenCount(c))
+
+  /** Composite quality score in [0,1]: high alpha share, sane token
+    * length, low digit noise.
+    */
+  def qualityScore(c: Column): Column = {
+    val alpha = alphaRatio(c)
+    val digits = digitRatio(c)
+    val tokLen = avgTokenLen(c)
+    val lenOk = when(tokLen >= 3 && tokLen <= 12, lit(1.0)).otherwise(lit(0.5))
+    round(greatest(lit(0.0), least(lit(1.0),
+      alpha * lenOk * (lit(1.0) - digits * 2))), 4)
+  }
+
+  /** 64-bit exact-dup fingerprint of normalized text (xxhash64 —
+    * the same hash Spark uses for shuffle partitioning; stable across
+    * versions and executors).
+    */
+  def fingerprint(c: Column): Column = xxhash64(normalize(c))
+
+  /** Dedup normalization: lowercase, collapse whitespace, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+}
