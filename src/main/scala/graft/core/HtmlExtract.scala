@@ -93,7 +93,12 @@ object HtmlExtract {
     var linkDepth = 0
     var i = 0
     val n = html.length
-    val lower = html.toLowerCase
+    // lazily lowercased copy: only raw-text (script/style) skips need it
+    var lowerCache: String = null
+    def lower: String = {
+      if (lowerCache == null) lowerCache = html.toLowerCase
+      lowerCache
+    }
 
     def flush(): Unit = {
       // trim without losing the link/total accounting proportions

@@ -53,10 +53,29 @@ object CanBeHeader {
   * the Linux deployment target); length always equals text length.
   */
 final class SegBuilder(val offset: Int, init: String) {
-  private val sb = new java.lang.StringBuilder(init)
-  def text: String = sb.toString
-  def length: Int = sb.length
+  // single-chunk fast path: most segments never see a second addText, so
+  // the char-copy into a builder is deferred until one arrives
+  private var first: String = init
+  private var sb: java.lang.StringBuilder = _
+  def text: String = if (sb == null) first else sb.toString
+  def length: Int = if (sb == null) first.length else sb.length
+  /** trim().isEmpty() without materializing the text (reference trim
+    * semantics: all chars <= ' ').
+    */
+  def isBlankTrim: Boolean = {
+    if (sb == null) SegBuilder.blankTrim(first)
+    else {
+      var i = 0
+      val n = sb.length
+      while (i < n) {
+        if (sb.charAt(i) > ' ') return false
+        i += 1
+      }
+      true
+    }
+  }
   def addText(t: String): Unit = {
+    if (sb == null) { sb = new java.lang.StringBuilder(first); first = null }
     val sep = SegBuilder.LineSep
     if (sb.length > 0 &&
         !(sb.length >= sep.length &&
@@ -65,10 +84,23 @@ final class SegBuilder(val offset: Int, init: String) {
     }
     sb.append(t)
   }
-  def toSeg: TextSeg = TextSeg(offset, text, length)
+  def toSeg: TextSeg = {
+    val t = text
+    TextSeg(offset, t, t.length)
+  }
 }
 
 object SegBuilder {
   val LineSep: String = "\n"
   def empty: SegBuilder = new SegBuilder(-1, "")
+  /** Exactly `s.trim.isEmpty` (all chars <= ' ') without allocating. */
+  def blankTrim(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) > ' ') return false
+      i += 1
+    }
+    true
+  }
 }

@@ -43,18 +43,37 @@ object Segmenter {
     * exact-offset ties (strict `>` at :377); we fix declaration order.
     * Matched against lowercased text (:375,:390).
     */
-  private val keyToDocType: Seq[(Regex, String)] = Seq(
-    "договор([^А-Яа-я]|$)".r -> DocType.CONTRACT,
-    "у *с *т *а *в([^А-Яа-я]|$)".r -> DocType.CHARTER,
-    "протокол([^А-Яа-я]|$)".r -> DocType.PROTOCOL,
-    "положение([^А-Яа-я]|$)".r -> DocType.REGULATION,
-    "приказ([^А-Яа-я]|$)".r -> DocType.ORDER,
-    "план работ([^А-Яа-я]|$)".r -> DocType.WORK_PLAN,
-    "дополнительное\\s+соглашение([^А-Яа-я]|$)".r -> DocType.SUPPLEMENTARY_AGREEMENT,
-    "приложение([^А-Яа-я]|$)".r -> DocType.ANNEX,
-    "контракт([^А-Яа-я]|$)".r -> DocType.CONTRACT,
-    "решение([^А-Яа-я]|$)".r -> DocType.PROTOCOL,
-    "соглашение([^А-Яа-я]|$)".r -> DocType.AGREEMENT)
+  /** Third column: a literal substring the regex cannot match without —
+    * probed with indexOf before paying for a Matcher (semantics
+    * unchanged; "" means always run the regex).
+    */
+  private val keyToDocType: Seq[(Regex, String, String)] = Seq(
+    ("договор([^А-Яа-я]|$)".r, DocType.CONTRACT, "договор"),
+    ("у *с *т *а *в([^А-Яа-я]|$)".r, DocType.CHARTER, "у"),
+    ("протокол([^А-Яа-я]|$)".r, DocType.PROTOCOL, "протокол"),
+    ("положение([^А-Яа-я]|$)".r, DocType.REGULATION, "положение"),
+    ("приказ([^А-Яа-я]|$)".r, DocType.ORDER, "приказ"),
+    ("план работ([^А-Яа-я]|$)".r, DocType.WORK_PLAN, "план работ"),
+    ("дополнительное\\s+соглашение([^А-Яа-я]|$)".r,
+      DocType.SUPPLEMENTARY_AGREEMENT, "дополнительное"),
+    ("приложение([^А-Яа-я]|$)".r, DocType.ANNEX, "приложение"),
+    ("контракт([^А-Яа-я]|$)".r, DocType.CONTRACT, "контракт"),
+    ("решение([^А-Яа-я]|$)".r, DocType.PROTOCOL, "решение"),
+    ("соглашение([^А-Яа-я]|$)".r, DocType.AGREEMENT, "соглашение"))
+
+  /** Every doc-type keyword is Cyrillic: a text without a Cyrillic char
+    * cannot match any pattern, so the classifier can skip it entirely.
+    */
+  private def hasCyrillic(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'Ѐ' && c <= 'ӿ') return true
+      i += 1
+    }
+    false
+  }
 
   // --- mutable builders, scoped to one turn's fold ---
   private final class ParaBuilder {
@@ -75,7 +94,12 @@ object Segmenter {
     var currentParagraph: ParaBuilder = _
     var globalOffset = 0
     var emptyParagraphsBefore = 0
-    val listNumbers = scala.collection.mutable.Map.empty[Int, ListNumber]
+    // lazily created: most turns carry no lists
+    private var _listNumbers: java.util.HashMap[Int, ListNumber] = _
+    def listNumbers: java.util.HashMap[Int, ListNumber] = {
+      if (_listNumbers == null) _listNumbers = new java.util.HashMap
+      _listNumbers
+    }
   }
 
   /** Segment one turn's element stream into documents + spans. */
@@ -94,14 +118,15 @@ object Segmenter {
     val docs = st.docs.toSeq.map { d =>
       Doc(d.docType, d.paras.toSeq.map(p => Para(p.header.toSeg, p.body.toSeg)))
     }
-    val segSpans = docs.flatMap(_.paragraphs).flatMap { p =>
-      val h = if (p.header.offset >= 0)
-        Seq(Span("header", p.header.offset, p.header.length)) else Nil
-      val b = if (p.body.offset >= 0)
-        Seq(Span("body", p.body.offset, p.body.length)) else Nil
-      h ++ b
+    val segSpans = new ArrayBuffer[Span]
+    for (d <- docs; p <- d.paragraphs) {
+      if (p.header.offset >= 0)
+        segSpans += Span("header", p.header.offset, p.header.length)
+      if (p.body.offset >= 0)
+        segSpans += Span("body", p.body.offset, p.body.length)
     }
-    MultiDoc(docs, segSpans ++ st.spans.toSeq, version)
+    segSpans ++= st.spans
+    MultiDoc(docs, segSpans.toSeq, version)
   }
 
   /** ~ processBodyElement (DocumentParser.java:404-475). */
@@ -166,30 +191,33 @@ object Segmenter {
       st.docs += doc
       st.isPrevHeader = false
     }
-    if (el.text.trim.isEmpty) st.emptyParagraphsBefore += 1 // :489-494
+    val blank = SegBuilder.blankTrim(el.text)
+    if (blank) st.emptyParagraphsBefore += 1 // :489-494
     else st.emptyParagraphsBefore = 0
-    if (doc.paras.nonEmpty || el.text.trim.nonEmpty) { // :495
+    if (doc.paras.nonEmpty || !blank) { // :495
       if (el.isToc || el.boilerplate) { // :496-499 (+ our HTML-strip route)
         val kind = if (el.isToc) "toc" else "boilerplate"
         st.spans += Span(kind, st.globalOffset, el.text.length)
         st.isPrevHeader = false
         return
       }
-      val prefix = numberPrefix(el, st.listNumbers) // :500
+      val prefix = // :500 (map only materialized when lists exist)
+        if (el.listRef.isEmpty) "" else numberPrefix(el, st.listNumbers)
       val isHdr =
         (st.docs.size == 1 && doc.paras.isEmpty) || // :501
         canBeHeader == CanBeHeader.Must ||
         (canBeHeader != CanBeHeader.CanNot && isHeader(el))
+      val prefixed = if (prefix.isEmpty) el.text else prefix + el.text
       if (isHdr) { // :503-514
         if (st.isPrevHeader) {
-          st.currentParagraph.header.addText(prefix + el.text)
+          st.currentParagraph.header.addText(prefixed)
         } else {
           st.currentParagraph = new ParaBuilder
           doc.paras += st.currentParagraph
           st.currentParagraph.header =
-            new SegBuilder(st.globalOffset, prefix + el.text)
+            new SegBuilder(st.globalOffset, prefixed)
         }
-        if (st.currentParagraph.header.text.trim.nonEmpty) {
+        if (!st.currentParagraph.header.isBlankTrim) {
           st.isPageBreak = false
         }
         st.isPrevHeader = true
@@ -204,9 +232,9 @@ object Segmenter {
         }
         if (st.currentParagraph.body.offset == -1) {
           st.currentParagraph.body =
-            new SegBuilder(st.globalOffset, prefix + el.text)
+            new SegBuilder(st.globalOffset, prefixed)
         } else {
-          st.currentParagraph.body.addText(prefix + el.text)
+          st.currentParagraph.body.addText(prefixed)
         }
         st.isPrevHeader = false
       }
@@ -214,19 +242,36 @@ object Segmenter {
     // blank leading paragraph: pass-through, state unchanged (:533-534)
   }
 
-  /** ~ isSubDocument DOCX variant (DocumentParser.java:680-693). */
+  /** ~ isSubDocument DOCX variant (DocumentParser.java:680-693).
+    * The three conjuncts are pure, so the cheapest (first-letter probe of
+    * the ^\s*приложение / ^\s*дополнительное patterns) runs first —
+    * semantics identical, no per-element toLowerCase on the hot path.
+    */
   private def isSubDocument(el: Element, doc: DocBuilder,
                             canBeHeader: CanBeHeader): Boolean = {
+    val t = el.text
+    var i = 0
+    while (i < t.length && t.charAt(i) <= ' ') i += 1
+    if (i >= t.length) return false
+    val c = t.charAt(i)
+    if (c != 'п' && c != 'П' && c != 'д' && c != 'Д') return false
+    val lower = t.toLowerCase
+    if (!possibleSubDocuments.exists(_.findFirstIn(lower).isDefined)) {
+      return false
+    }
     if (allBodiesEmpty(doc)) return false // :695-702 gate
-    val gateOk = canBeHeader == CanBeHeader.Must ||
+    canBeHeader == CanBeHeader.Must ||
       (canBeHeader == CanBeHeader.Can && isHeader(el))
-    if (!gateOk) return false
-    val lower = el.text.toLowerCase
-    possibleSubDocuments.exists(_.findFirstIn(lower).isDefined)
   }
 
-  private def allBodiesEmpty(doc: DocBuilder): Boolean =
-    doc.paras.forall(_.body.text.trim.isEmpty)
+  private def allBodiesEmpty(doc: DocBuilder): Boolean = {
+    var i = 0
+    while (i < doc.paras.size) {
+      if (!doc.paras(i).body.isBlankTrim) return false
+      i += 1
+    }
+    true
+  }
 
   /** Header predicate ~ isHeader DOCX variant (DocumentParser.java:885-947).
     * Order of checks is load-bearing: indent, then alignment, then the
@@ -236,25 +281,80 @@ object Segmenter {
   def isHeader(el: Element): Boolean = {
     if (el.indentRatio > minHeaderIndentationLeft) return true // :899-901
     if (el.align == Align.Center || el.align == Align.Right) return true // :904-906
-    if (alphabetPattern.findFirstIn(el.text).isEmpty) return false // :909-912
+    if (!hasAlnumRun5(el.text)) return false // :909-912
     // paragraphBold = XOR-fold over the enclosing style chain (:918-921)
     val paragraphBold = el.styleBoldChain.foldLeft(false)(_ ^ _)
-    // whole-paragraph caps check (:929-934)
-    val upper = el.text.toUpperCase
-    var allCapitalized = el.text == upper &&
-      alphabetUpperCasePattern.findFirstIn(upper).isDefined
+    // whole-paragraph caps check (:929-934); allocation-free fast path
+    var allCapitalized = isAllUpperWithRun(el.text)
     var allBold = true
     val it = el.runs.iterator
     while (it.hasNext && (allBold || allCapitalized)) { // :935-945
       val run = it.next()
-      if (run.text.trim.nonEmpty) {
-        val effBold = run.bold.getOrElse(run.styleBold ^ paragraphBold)
-        if (!effBold && valuableSymbolPattern.findFirstIn(run.text).isDefined) {
+      if (!SegBuilder.blankTrim(run.text)) {
+        val effBold = run.bold match {
+          case Some(b) => b
+          case None => run.styleBold ^ paragraphBold
+        }
+        if (!effBold && hasLetter(run.text)) {
           allBold = false
         }
       }
     }
     allBold || allCapitalized
+  }
+
+  /** alphabetPattern [A-Za-zА-Яа-я0-9]{5,} as an allocation-free scan
+    * (:55, used :909-912).
+    */
+  private def hasAlnumRun5(s: String): Boolean = {
+    var run = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      val in = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || (c >= 'А' && c <= 'я')
+      if (in) { run += 1; if (run >= 5) return true } else run = 0
+      i += 1
+    }
+    false
+  }
+
+  /** valuableSymbolPattern [A-Za-zА-Яа-я] as an allocation-free scan
+    * (:60, used :940-941).
+    */
+  private def hasLetter(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= 'А' && c <= 'я')) return true
+      i += 1
+    }
+    false
+  }
+
+  /** text == text.toUpperCase && it contains a >=5 run of [A-ZА-Я]
+    * (:929-934). Char-level scan first: any char whose char-uppercase
+    * differs proves the string-level mapping changes too (safe false);
+    * only the rare all-identity case pays the full toUpperCase compare
+    * (string-level mappings like ß->SS that char-level misses).
+    */
+  private def isAllUpperWithRun(text: String): Boolean = {
+    var run = 0
+    var hasRun = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.toUpperCase(c) != c) return false
+      val inAlpha = (c >= 'A' && c <= 'Z') || (c >= 'А' && c <= 'Я')
+      if (inAlpha) { run += 1; if (run >= 5) hasRun = true }
+      else run = 0
+      i += 1
+    }
+    hasRun && text == text.toUpperCase
   }
 
   /** ~ isBilingual (DocumentParser.java:734-743). */
@@ -269,13 +369,16 @@ object Segmenter {
     */
   private def numberPrefix(
       el: Element,
-      listNumbers: scala.collection.mutable.Map[Int, ListNumber]): String = {
+      listNumbers: java.util.HashMap[Int, ListNumber]): String = {
     el.listRef match {
       case None => ""
       case Some(ref) =>
         // root is created with the FIRST-SEEN ilvl as its level (:550 quirk)
-        val root = listNumbers.getOrElseUpdate(
-          ref.listId, new ListNumber(ref.ilvl, ref.numFmt))
+        var root = listNumbers.get(ref.listId)
+        if (root == null) {
+          root = new ListNumber(ref.ilvl, ref.numFmt)
+          listNumbers.put(ref.listId, root)
+        }
         var current = root
         for (i <- 0 until ref.ilvl) { // :554-559
           if (current.subNumber == null) {
@@ -324,8 +427,8 @@ object Segmenter {
               new SegBuilder(p.header.offset + p.header.length, newBody)
           }
         }
-        if (p.header.text.trim.isEmpty) { // :265-270
-          if (p.body.text.trim.nonEmpty && previous != null) {
+        if (p.header.isBlankTrim) { // :265-270
+          if (!p.body.isBlankTrim && previous != null) {
             previous.body.addText(p.body.text)
           }
           // paragraph dropped
@@ -375,14 +478,19 @@ object Segmenter {
       var i = 0
       while (i < doc.paras.size && i < maxDocTypeDetectionHeaders) {
         val s = seg(doc.paras(i))
-        val lower = s.text.toLowerCase
-        for ((pattern, docType) <- keyToDocType) {
-          pattern.findFirstMatchIn(lower).foreach { m =>
-            val abs = m.start + s.offset
-            if ((firstOccurrence > abs && result != DocType.CHARTER) ||
-                docType == DocType.CHARTER) {
-              result = docType
-              firstOccurrence = abs
+        val raw = s.text
+        if (hasCyrillic(raw)) { // no Cyrillic => no pattern can match
+          val lower = raw.toLowerCase
+          for ((pattern, docType, literal) <- keyToDocType) {
+            if (lower.indexOf(literal) >= 0) {
+              pattern.findFirstMatchIn(lower).foreach { m =>
+                val abs = m.start + s.offset
+                if ((firstOccurrence > abs && result != DocType.CHARTER) ||
+                    docType == DocType.CHARTER) {
+                  result = docType
+                  firstOccurrence = abs
+                }
+              }
             }
           }
         }
@@ -397,10 +505,22 @@ object Segmenter {
   /** Concatenated main content for the per-turn text-equality check:
     * non-empty header/body texts of all documents joined with "\n".
     */
-  def extractedText(md: MultiDoc): String =
-    md.documents.iterator
-      .flatMap(_.paragraphs.iterator)
-      .flatMap(p => Iterator(p.header.text, p.body.text))
-      .filter(_.nonEmpty)
-      .mkString(SegBuilder.LineSep)
+  def extractedText(md: MultiDoc): String = {
+    var cap = 0
+    for (d <- md.documents; p <- d.paragraphs) {
+      cap += p.header.length + p.body.length + 2
+    }
+    val sb = new java.lang.StringBuilder(cap)
+    for (d <- md.documents; p <- d.paragraphs) {
+      if (p.header.text.nonEmpty) {
+        if (sb.length > 0) sb.append(SegBuilder.LineSep)
+        sb.append(p.header.text)
+      }
+      if (p.body.text.nonEmpty) {
+        if (sb.length > 0) sb.append(SegBuilder.LineSep)
+        sb.append(p.body.text)
+      }
+    }
+    sb.toString
+  }
 }

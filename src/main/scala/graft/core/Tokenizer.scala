@@ -33,8 +33,29 @@ object Tokenizer {
   private val bulletList: Regex = "^#B(?:\\((\\d+),(\\d+)\\))?\\s".r
   private val boldRun: Regex = "\\*\\*(.*?)\\*\\*".r
 
+  /** Manual line splitter (handles \n and \r\n) — regex split was a top
+    * allocation/CPU site at millions of turns/sec.
+    */
+  private def splitLines(text: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String]
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (text.charAt(i) == '\n') {
+        val end = if (i > start && text.charAt(i - 1) == '\r') i - 1 else i
+        out += text.substring(start, end)
+        start = i + 1
+      }
+      i += 1
+    }
+    val end = if (n > start && text.charAt(n - 1) == '\r') n - 1 else n
+    out += text.substring(start, end)
+    out
+  }
+
   def tokenize(text: String): Seq[BodyElement] = {
-    val lines = text.split("\r?\n", -1)
+    val lines = splitLines(text)
     val out = new ArrayBuffer[BodyElement]
     val pendingTable = new ArrayBuffer[Seq[Seq[Element]]]
     def flushTable(): Unit = {
@@ -44,16 +65,18 @@ object Tokenizer {
       }
     }
     for (line <- lines) {
-      tableRow.findFirstMatchIn(line) match {
-        case Some(m) =>
-          val cells = splitCells(m.group(1)).map { cellText =>
-            // `||` never survives splitCells; cell paragraphs split on "¶"
-            cellText.split("¶", -1).toSeq.map(parseLine)
-          }
-          pendingTable += cells
-        case None =>
-          flushTable()
-          out += ParaElement(parseLine(line))
+      // cheap guard before the table regex: must start and end with '|'
+      val isRow = line.length >= 2 && line.charAt(0) == '|' &&
+        line.charAt(line.length - 1) == '|' &&
+        tableRow.findFirstMatchIn(line).isDefined
+      if (isRow) {
+        val cells = splitCells(line.substring(1, line.length - 1)).map {
+          cellText => cellText.split("¶", -1).toSeq.map(parseLine)
+        }
+        pendingTable += cells
+      } else {
+        flushTable()
+        out += ParaElement(parseLine(line))
       }
     }
     flushTable()
@@ -81,7 +104,7 @@ object Tokenizer {
       else if (rest.startsWith("^B ")) { styleBold = true :: styleBold; rest = rest.drop(3); changed = true }
       else if (rest.startsWith("^P ")) { cbh = Some(CanBeHeader.Must); rest = rest.drop(3); changed = true }
       else if (rest.startsWith(">>>> ")) { indent = 0.3f; rest = rest.drop(5); changed = true }
-      else {
+      else if (rest.length > 1 && rest.charAt(0) == '#') {
         numList.findFirstMatchIn(rest) match {
           case Some(m) =>
             val lvl = m.group(2).toInt
@@ -104,7 +127,7 @@ object Tokenizer {
         }
       }
     }
-    if (rest.contains("[TOC]")) {
+    if (rest.indexOf('[') >= 0 && rest.contains("[TOC]")) {
       isToc = true
       rest = rest.replace("[TOC]", "")
     }
@@ -116,6 +139,9 @@ object Tokenizer {
     * (falling back to styleBold XOR paragraphBold, :986-992).
     */
   private def parseRuns(s: String): (String, Seq[Run]) = {
+    if (s.indexOf('*') < 0) { // fast path: no bold markup
+      return (s, if (s.isEmpty) Seq.empty else Run(s) :: Nil)
+    }
     val runs = new ArrayBuffer[Run]
     val plain = new StringBuilder
     var last = 0

@@ -31,6 +31,20 @@ object ExtractPipeline {
     turns.mapPartitions(_.map(TurnExtractor.extract))
   }
 
+  /** Zero-shuffle narrow path: project to the 3 columns the kernel reads
+    * BEFORE the typed boundary, so parquet scans only conv_id, turn_idx,
+    * text (pruning verified via .explain ReadSchema). This is the default
+    * heavy stage: per-turn statelessness means map-side extraction on
+    * scan partitions, which are size-balanced by the source
+    * (maxPartitionBytes), so no shuffle and no skew.
+    */
+  def extractNarrow(turns: DataFrame): Dataset[ExtractedTurn] = {
+    import turns.sparkSession.implicits._
+    turns.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[TurnLite]
+      .mapPartitions(_.map(TurnExtractor.extract(_: TurnLite)))
+  }
+
   /** Bucket column: stable function of conv_id only, so one conversation
     * always lands in one bucket (ordering + co-location), while buckets
     * stay balanced across thousands of conversations.
@@ -43,9 +57,11 @@ object ExtractPipeline {
   def extractBalanced(turns: Dataset[Turn], partitions: Int): Dataset[ExtractedTurn] = {
     import turns.sparkSession.implicits._
     turns
-      .repartition(partitions, pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(partitions)))
-      .as[Turn]
-      .mapPartitions(_.map(TurnExtractor.extract))
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+      .repartition(partitions,
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(partitions)))
+      .as[TurnLite]
+      .mapPartitions(_.map(TurnExtractor.extract(_: TurnLite)))
   }
 
   /** Stable conversation ordering + conversation-relative offsets: the

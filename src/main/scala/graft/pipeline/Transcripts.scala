@@ -75,7 +75,12 @@ object Transcripts {
     import spark.implicits._
     val baseTs = 1735689600000L // 2025-01-01T00:00:00Z, fixed epoch
     spark.range(nConvs).flatMap { cid =>
-      val rnd = new Random(seed * 1000003L + cid)
+      // splitmix64 mix: java.util.Random's first draws correlate across
+      // consecutive seeds, which flattens the zipf tail — mix first
+      var z = seed * 1000003L + cid + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val rnd = new Random(z ^ (z >>> 31))
       val len = convLength(rnd)
       val convId = f"conv-$cid%010d"
       (0 until len).map { i =>

@@ -17,10 +17,33 @@ object TurnExtractor {
     */
   val maxTurnBytes: Int = 10 * 1024 * 1024
 
-  def extract(turn: Turn): ExtractedTurn = {
-    val text = if (turn.text == null) "" else turn.text
+  /** UTF-8 byte length without materializing the byte array (the
+    * getBytes copy was a top allocation site at 10^6 turns/sec).
+    */
+  def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+            else 3)
+      i += 1
+    }
+    n
+  }
+
+  def extract(turn: Turn): ExtractedTurn =
+    extract(turn.conv_id, turn.turn_idx, turn.text)
+
+  def extract(turn: TurnLite): ExtractedTurn =
+    extract(turn.conv_id, turn.turn_idx, turn.text)
+
+  def extract(convId: String, turnIdx: Int, rawText: String): ExtractedTurn = {
+    val text = if (rawText == null) "" else rawText
     if (text.length > maxTurnBytes) {
-      ExtractedTurn(turn.conv_id, turn.turn_idx, Nil, "", Nil,
+      ExtractedTurn(convId, turnIdx, Nil, "", Nil,
         graft.BuildInfo.version,
         s"input too large: ${text.length} chars > $maxTurnBytes",
         0, text.length.toLong)
@@ -31,13 +54,13 @@ object TurnExtractor {
           else Tokenizer.tokenize(text)
         val md = Segmenter.segment(elements)
         val extracted = Segmenter.extractedText(md)
-        ExtractedTurn(turn.conv_id, turn.turn_idx, md.documents, extracted,
-          md.spans, md.version, null,
-          md.documents.iterator.map(_.paragraphs.size).sum,
-          extracted.getBytes("UTF-8").length.toLong)
+        var nParas = 0
+        md.documents.foreach(d => nParas += d.paragraphs.size)
+        ExtractedTurn(convId, turnIdx, md.documents, extracted,
+          md.spans, md.version, null, nParas, utf8Length(extracted))
       } catch {
         case e: Exception =>
-          ExtractedTurn(turn.conv_id, turn.turn_idx, Nil, "", Nil,
+          ExtractedTurn(convId, turnIdx, Nil, "", Nil,
             graft.BuildInfo.version,
             s"${e.getClass.getSimpleName}: ${e.getMessage}",
             0, 0L)

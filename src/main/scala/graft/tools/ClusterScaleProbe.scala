@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** N vs 4N *executor-process* scaling probe using Spark's local-cluster
+  * mode: each executor is its own JVM (own heap, own GC) — the faithful
+  * sandbox model of the north rule's "N and 4N executors" criterion.
+  */
+object ClusterScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val inputDir = args(0)
+    val classes = "/root/repo/target/scala-2.13/classes"
+    for ((execs, coresPer) <- Seq((2, 4), (8, 4), (2, 4), (8, 4))) {
+      SparkSession.getActiveSession.foreach(_.stop())
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local-cluster[$execs,$coresPer,4096]")
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"execs=$execs cores=${execs * coresPer} $label: n=$n $s%.2f s tp=${n / s}%.0f t/s")
+      }
+      val raw = spark.read.parquet(inputDir)
+      time("narrow-warm")(
+        graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+      time("narrow-1")(
+        graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+      time("narrow-2")(
+        graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+      spark.stop()
+    }
+  }
+}
