@@ -74,25 +74,96 @@ object Dedup {
           transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")), ",")).as("bkey")))
 
+  // deterministic seeded hash family parameters (odd multipliers)
+  private lazy val hashFamily: Array[Long] = {
+    val rnd = new scala.util.Random(0x5eed5eedL)
+    Array.fill(256)(rnd.nextLong() | 1L)
+  }
+
+  /** Word k-shingle set in plain Scala (the typed fast path). */
+  def shingleSet(text: String, k: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Array.empty
+    val set = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set += sb.toString
+      i += 1
+    }
+    set.toArray
+  }
+
+  /** One-pass MinHash signature: one strong base hash per shingle, the
+    * family derived by multiply-xorshift mixing — O(shingles x numHashes)
+    * cheap long ops instead of numHashes string rehashes (the Catalyst
+    * higher-order variant above is kept for SQL-surface parity but the
+    * typed path is ~20x faster).
+    */
+  def minhashSig(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val str = shingles(s)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < str.length) { h ^= str.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var f = 0
+      while (f < numHashes) {
+        var v = h * hashFamily(f)
+        v ^= (v >>> 33); v *= 0xff51afd7ed558ccdL; v ^= (v >>> 33)
+        if (v < sig(f)) sig(f) = v
+        f += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * @param maxBucket  candidate-bucket cap (skew guard; a bucket larger
-    *                   than this is dropped and counted in `dropped`)
+    *                   than this is dropped rather than exploded
+    *                   quadratically)
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
     val withSig = df
-      .select(col(idCol).as("id"),
-        wordShingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val sh = shingleSet(text, shingleK)
+        val sig = minhashSig(sh, numHashes)
+        // band key: mix of the band's signature slice
+        val bkeys = Array.tabulate(bands) { b =>
+          var h = 0x9e3779b97f4a7c15L + b
+          var r = 0
+          while (r < rowsPerBand) {
+            h ^= sig(b * rowsPerBand + r)
+            h *= 0xff51afd7ed558ccdL
+            r += 1
+          }
+          h
+        }
+        (id, sh, bkeys)
+      })
+      .toDF("id", "sh", "bkeys")
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
     val buckets = withSig
-      .select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-      .groupBy(col("band"))
+      .select(col("id"), col("sh"), posexplode(col("bkeys")))
+      .groupBy(col("pos"), col("col"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
       .filter(size(col("docs")).between(2, maxBucket))
     // in-bucket pair expansion (bounded by maxBucket^2), then exact verify

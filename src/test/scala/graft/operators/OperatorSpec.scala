@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups and representative selection") {
+    val d = docs(
+      1L -> "Hello   World", 2L -> "hello world", 3L -> "unique text here",
+      4L -> "HELLO WORLD  ")
+    val groups = Dedup.exactDupGroups(d, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 3)
+    assert(groups.head.getAs[Long]("keep_id") == 1)
+    val kept = Dedup.dropExactDups(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("wordShingles and jaccard") {
+    val s = spark
+    import s.implicits._
+    val df = docs(1L -> "a b c d", 2L -> "b c d e")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh"))
+    val shs = df.collect().map(_.getSeq[String](0))
+    assert(shs(0) == Seq("a b c", "b c d"))
+    assert(shs(1) == Seq("b c d", "c d e"))
+    val j = docs(1L -> "x")
+      .select(Dedup.jaccard(
+        typedLit(Seq("a", "b")), typedLit(Seq("b", "c"))).as("j"))
+      .first().getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("minhash LSH finds near-dups, skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val near = base + " extra"
+    val far = "completely different content about spark catalyst optimizer internals and partition pruning"
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash near-dups by hamming distance") {
+    // simhash needs enough tokens for stable bit votes; 60 words, 1 changed
+    val words = (1 to 60).map(i => s"token$i")
+    val base = words.mkString(" ")
+    val near = words.updated(30, "changed").mkString(" ")
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> far)
+    val pairs = Dedup.simhashNearDups(d, "text", "doc_id", maxHamming = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine + brute-force topk + ann agree on an easy neighborhood") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2.map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(df, "embedding", "vec_id", q, 1)
+      .first()
+    assert(brute.getLong(0) == 7L) // itself: cosine 1.0
+    assert(math.abs(brute.getDouble(1) - 1.0) < 1e-6)
+    val ann = Similarity.annTopK(df, "embedding", "vec_id", q, 1, bits = 4)
+      .first()
+    assert(ann.getLong(0) == 7L)
+  }
+
+  test("cosineNearDups finds duplicated vectors") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat).toSeq)
+    } :+ (100L, (0 until 30).head match {
+      case _ => Array.tabulate(8)(d => math.sin(0 * 31 + d * 7).toFloat).toSeq
+    })
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(df, "embedding", "vec_id",
+      threshold = 0.999, bits = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("asof join picks latest prior value per key") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 10L, ts(100)), (1L, 11L, ts(200)), (2L, 20L, ts(50)))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, ts(90), 5.0), (1L, ts(150), 7.0), (2L, ts(60), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", "value")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(10L) == 5.0)  // ts=100: latest prior is 90 -> 5.0
+    assert(out(11L) == 7.0)  // ts=200: latest prior is 150 -> 7.0
+    assert(out(20L) == null) // ts=50: no prior purchase
+  }
+
+  test("asof join: equal timestamp is visible (<= semantics)") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, 10L, ts(100))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, ts(100), 3.0)).toDF("user_id", "ts", "value")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts", "value")
+      .select("asof_value").first()
+    assert(out.getDouble(0) == 3.0)
+  }
+
+  test("sessionize splits on gap") {
+    val s = spark
+    import s.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val e = Seq((1L, ts(0)), (1L, ts(10)), (1L, ts(60)), (1L, ts(65)),
+      (2L, ts(0))).toDF("user_id", "ts")
+    val out = EventOps.sessionize(e, "user_id", "ts", 30)
+      .groupBy("user_id").agg(max("session_idx").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L)
+    assert(out(2L) == 1L)
+  }
+
+  test("text stats columns") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Tuple1("hello мир 123")).toDF("text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("tc"),
+      TextStats.cyrillicChars(col("text")).as("cy"),
+      TextStats.latinChars(col("text")).as("la"),
+      TextStats.digitChars(col("text")).as("di")).first()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3 && r.getInt(2) == 5 &&
+      r.getInt(3) == 3)
+    assert(Seq(Tuple1("")).toDF("text")
+      .select(TextStats.tokenCount(col("text"))).first().getInt(0) == 0)
+  }
+
+  test("langid ngram heuristic") {
+    assert(LangId.detect("the cat and the dog are in the house") == "en")
+    assert(LangId.detect("это договор и устав компании на русском языке") == "ru")
+    assert(LangId.detect("der Hund und die Katze sind nicht hier") == "de")
+    assert(LangId.detect("") == "unknown")
+    assert(LangId.detect("12345 67890") == "unknown")
+  }
+}
