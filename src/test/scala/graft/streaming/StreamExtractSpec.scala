@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.pipeline.Transcripts
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamExtractSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming extraction equals batch extraction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val turns = Transcripts.generate(spark, 20)
+    turns.write.mode("overwrite").parquet(dir)
+
+    val q = StreamExtract.startParquetToMemory(spark, dir, "stream_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_out")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    val batch = graft.pipeline.ExtractPipeline.extract(turns).collect()
+    assert(batch.nonEmpty)
+    for (e <- batch) {
+      assert(streamed((e.conv_id, e.turn_idx)) == ((e.nParas, e.nBytes)))
+    }
+  }
+
+  test("watermarked window aggregate runs over a bounded stream") {
+    val dir = Files.createTempDirectory("graft-stream-win").toString
+    Transcripts.generate(spark, 10).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamExtract.throughputByRole(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only closed windows; bounded input closes none —
+    // assert the query ran and the plan is streaming-valid
+    assert(spark.table("win_out").columns.toSeq ==
+      Seq("window", "role", "n_turns", "n_chars"))
+  }
+
+  test("stateful conversation progress accumulates per conv") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-state").toString
+    Transcripts.generate(spark, 8).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val turns = spark.readStream.schema(schema).parquet(dir)
+      .as[graft.pipeline.Turn]
+    val q = StreamExtract.conversationProgress(turns)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("state_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Transcripts.generate(spark, 8).collect()
+      .groupBy(_.conv_id).map { case (k, v) => k -> v.length.toLong }
+    assert(got == expected)
+  }
+}
