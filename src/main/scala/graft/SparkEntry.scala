@@ -452,8 +452,9 @@ object SparkEntry {
            count(*) AS n_docs
          FROM (
            SELECT lang,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+             CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+                  ELSE len(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS tc
            FROM documents) t
          GROUP BY lang""",
 
@@ -466,9 +467,11 @@ object SparkEntry {
            round(avg(CASE WHEN length(text) = 0 THEN 0.0
              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
                 / length(text) END), 4) AS avg_digit,
-           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0.0
-             ELSE length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
-                / len(string_split_regex(trim(text), '\s+')) END), 4) AS avg_tok_len,
+           round(avg(CASE WHEN NOT regexp_matches(text, '\S') THEN 0.0
+             ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                / len(string_split_regex(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END), 4)
+             AS avg_tok_len,
            count(*) AS n_docs
          FROM documents
          GROUP BY source""",

@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count; empty/blank text counts 0. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+  /** Whitespace token count (count of maximal non-\s runs); blank -> 0.
+    * Full \s trim first — Spark's `trim` strips spaces only, which would
+    * leave a trailing "\n" producing a phantom empty token. Identical
+    * semantics to the native [[graft.functions.TokenCount]] expression.
+    */
+  def tokenCount(c: Column): Column = {
+    val trimmed = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(length(trimmed) === 0, lit(0))
+      .otherwise(size(split(trimmed, "\\s+")))
+  }
 
   /** Characters matching a class, via strip-and-measure (codegen'd). */
   def charsMatching(c: Column, charClassRegex: String): Column =

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make the engine scale are
+  * pinned here so a refactor can't silently regress them (the ".explain
+  * and iterate" discipline, builder prompt).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("extractNarrow prunes the parquet scan to 3 columns, no shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planshape")
+      .toString + "/in"
+    Transcripts.generate(spark, 5).write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir)
+    val plan = ExtractPipeline.extractNarrow(raw)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<conv_id:string,turn_idx:int,text:string>"),
+      plan)
+    assert(!plan.contains("Exchange"), "extraction stage must not shuffle")
+  }
+
+  test("filter pushdown reaches the scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = li.filter(col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"),
+      plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("dimension joins broadcast (q03)") {
+    val plan = graft.SparkEntry.queries("q03_region_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "dims must broadcast, not SMJ")
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery loops") {
+    val semi = graft.SparkEntry.queries("q04_semi_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = graft.SparkEntry.queries("q05_anti_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("pricing summary is one pass: partial agg before the exchange") {
+    val plan = graft.SparkEntry.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // map-side combine: HashAggregate appears below AND above the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("checkpointed resume prunes committed buckets at the filter level") {
+    val turns = Transcripts.generate(spark, 10)
+    val withBucket = turns.withColumn("bucket", ExtractPipeline.bucketCol(4))
+    val plan = withBucket.filter(col("bucket").isin(0, 1))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("IN (0,1)") || plan.contains("isin"), plan)
+  }
+}
