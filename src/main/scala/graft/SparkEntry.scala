@@ -286,6 +286,37 @@ object SparkEntry {
           col("conv_char_offset"))
     }),
 
+    "q29_multimodal_features" -> ((s, dir) => {
+      val assets = operators.Multimodal.generate(s, 300)
+      val s2 = s
+      import s2.implicits._
+      operators.Multimodal.extractFeatures(assets, 8)
+        .groupByKey(_.modality)
+        .mapGroups { (m, it) =>
+          var n = 0L; var bytes = 0L
+          it.foreach { f => n += 1; bytes += f.nBytes }
+          (m, n, bytes)
+        }
+        .toDF("modality", "n_assets", "sum_bytes")
+    }),
+
+    "q30_doc_dates" -> ((s, dir) => {
+      // Russian date dialect over a deterministic synthetic column
+      val s2 = s
+      import s2.implicits._
+      s.range(200).map { i =>
+        val day = (i % 28 + 1).toInt
+        val months = Seq("января", "марта", "мая", "07", "декабря")
+        val text = s"Договор №$i от $day ${months((i % 5).toInt)} ${2000 + i % 25} года"
+        (i, text)
+      }.toDF("id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.core.DocDates.findDate(text).map(_.toString).orNull)
+        }
+        .toDF("id", "doc_date")
+        .filter(col("doc_date").isNotNull)
+    }),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
