@@ -110,6 +110,32 @@ object SparkEntry {
           round(sum("c_acctbal"), 2).as("sum_acctbal"))
     }),
 
+    "q31_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    "q32_grouping_sets" -> ((s, dir) => {
+      // grouping sets via SQL surface (Dataset API exposes cube/rollup)
+      t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      s.sql("""SELECT c_mktsegment, c_nationkey,
+                 count(*) AS n, round(sum(c_acctbal), 2) AS bal
+               FROM gs_customer
+               GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""")
+    }),
+
+    "q33_union_stats" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"), lit("hi").as("tier"))
+      val lo = t(s, dir, "orders").filter(col("o_totalprice") <= 200000)
+        .select(col("o_custkey").as("custkey"), lit("lo").as("tier"))
+      hi.unionByName(lo).groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("custkey")).as("n_cust"))
+    }),
+
     "q08_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -397,6 +423,28 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+
+    "q31_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q32_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey,
+           count(*) AS n, round(sum(c_acctbal), 2) AS bal
+         FROM customer
+         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""",
+
+    "q33_union_stats" ->
+      """SELECT tier, count(*) AS n, count(DISTINCT custkey) AS n_cust
+         FROM (
+           SELECT o_custkey AS custkey, 'hi' AS tier FROM orders
+           WHERE o_totalprice > 200000
+           UNION ALL
+           SELECT o_custkey, 'lo' FROM orders WHERE o_totalprice <= 200000) u
+         GROUP BY tier""",
 
     "q08_distinct" ->
       """SELECT l_returnflag,

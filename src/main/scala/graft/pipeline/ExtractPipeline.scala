@@ -134,6 +134,21 @@ object ExtractPipeline {
     }
   }
 
+  /** Anti-join resume variant: when the committed-partition list is too
+    * large for an isin filter (millions of partitions on a real table),
+    * the manifest becomes a broadcast left_anti join instead — same
+    * semantics, bounded driver memory (SURVEY.md §2.8).
+    */
+  def filterUncommitted(turns: Dataset[Turn], nBuckets: Int,
+                        committed: Seq[Int]): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    val done = committed.toDF("bucket")
+    turns.withColumn("bucket", bucketCol(nBuckets))
+      .join(broadcast(done), Seq("bucket"), "left_anti")
+      .drop("bucket")
+      .as[Turn]
+  }
+
   /** Read back a checkpointed table, restricted to committed buckets. */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
     val catalog = new HadoopManifestCatalog(

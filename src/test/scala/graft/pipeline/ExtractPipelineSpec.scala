@@ -100,6 +100,20 @@ class ExtractPipelineSpec extends AnyFunSuite {
     assert(cat.committedBuckets() == Set(0, 1, 2, 3))
   }
 
+  test("anti-join resume filter equals the isin filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val turns = Transcripts.generate(spark, 25)
+    val committed = Seq(0, 2)
+    val viaAnti = ExtractPipeline.filterUncommitted(turns, 4, committed)
+      .collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val viaIsin = turns.withColumn("bucket", ExtractPipeline.bucketCol(4))
+      .filter(!col("bucket").isin(committed: _*))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaAnti == viaIsin && viaAnti.nonEmpty)
+    assert(viaAnti.size < turns.count())
+  }
+
   test("re-run over fully committed output is a no-op") {
     import spark.implicits._
     val turns = Transcripts.generate(spark, 10)
