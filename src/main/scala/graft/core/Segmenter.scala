@@ -115,18 +115,32 @@ object Segmenter {
     checkDocumentStructure(st)
     for (doc <- st.docs if doc.paras.nonEmpty) findDocumentType(doc)
     postProcessDocument(st)
-    val docs = st.docs.toSeq.map { d =>
-      Doc(d.docType, d.paras.toSeq.map(p => Para(p.header.toSeg, p.body.toSeg)))
-    }
+    // single-copy output construction (wrapped arrays, no toSeq rebuilds)
+    val docsArr = new Array[Doc](st.docs.size)
+    var di = 0
     val segSpans = new ArrayBuffer[Span]
-    for (d <- docs; p <- d.paragraphs) {
-      if (p.header.offset >= 0)
-        segSpans += Span("header", p.header.offset, p.header.length)
-      if (p.body.offset >= 0)
-        segSpans += Span("body", p.body.offset, p.body.length)
+    while (di < st.docs.size) {
+      val d = st.docs(di)
+      val parasArr = new Array[Para](d.paras.size)
+      var pi = 0
+      while (pi < d.paras.size) {
+        val p = d.paras(pi)
+        val para = Para(p.header.toSeg, p.body.toSeg)
+        parasArr(pi) = para
+        if (para.header.offset >= 0)
+          segSpans += Span("header", para.header.offset, para.header.length)
+        if (para.body.offset >= 0)
+          segSpans += Span("body", para.body.offset, para.body.length)
+        pi += 1
+      }
+      docsArr(di) = Doc(d.docType,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(parasArr))
+      di += 1
     }
     segSpans ++= st.spans
-    MultiDoc(docs, segSpans.toSeq, version)
+    MultiDoc(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr),
+      segSpans.toSeq, version)
   }
 
   /** ~ processBodyElement (DocumentParser.java:404-475). */
@@ -413,32 +427,44 @@ object Segmenter {
   private def checkDocumentStructure(st: State): Unit = {
     st.docs.filterInPlace(_.paras.nonEmpty) // :246-249
     for (doc <- st.docs) {
-      var previous: ParaBuilder = null
-      val kept = new ArrayBuffer[ParaBuilder]
-      for (p <- doc.paras) {
-        if (p.header.length > maxHeaderLength) { // :253-263
-          val longHeader = p.header.text
-          endStringPattern.findFirstMatchIn(longHeader).foreach { m =>
-            val shortHeader = longHeader.substring(0, m.start)
-            // direct concat, not addText (:258)
-            val newBody = longHeader.substring(m.start) + p.body.text
-            p.header = new SegBuilder(p.header.offset, shortHeader)
-            p.body =
-              new SegBuilder(p.header.offset + p.header.length, newBody)
-          }
+      // fast path: nothing to split or merge => no rebuild, no allocation
+      var dirty = false
+      var i = 0
+      while (i < doc.paras.size && !dirty) {
+        val p = doc.paras(i)
+        if (p.header.length > maxHeaderLength || p.header.isBlankTrim) {
+          dirty = true
         }
-        if (p.header.isBlankTrim) { // :265-270
-          if (!p.body.isBlankTrim && previous != null) {
-            previous.body.addText(p.body.text)
-          }
-          // paragraph dropped
-        } else {
-          previous = p
-          kept += p
-        }
+        i += 1
       }
-      doc.paras.clear()
-      doc.paras ++= kept
+      if (dirty) {
+        var previous: ParaBuilder = null
+        val kept = new ArrayBuffer[ParaBuilder]
+        for (p <- doc.paras) {
+          if (p.header.length > maxHeaderLength) { // :253-263
+            val longHeader = p.header.text
+            endStringPattern.findFirstMatchIn(longHeader).foreach { m =>
+              val shortHeader = longHeader.substring(0, m.start)
+              // direct concat, not addText (:258)
+              val newBody = longHeader.substring(m.start) + p.body.text
+              p.header = new SegBuilder(p.header.offset, shortHeader)
+              p.body =
+                new SegBuilder(p.header.offset + p.header.length, newBody)
+            }
+          }
+          if (p.header.isBlankTrim) { // :265-270
+            if (!p.body.isBlankTrim && previous != null) {
+              previous.body.addText(p.body.text)
+            }
+            // paragraph dropped
+          } else {
+            previous = p
+            kept += p
+          }
+        }
+        doc.paras.clear()
+        doc.paras ++= kept
+      }
     }
   }
 
@@ -506,10 +532,17 @@ object Segmenter {
     * non-empty header/body texts of all documents joined with "\n".
     */
   def extractedText(md: MultiDoc): String = {
+    // fast paths: 0 or 1 non-empty segments (most short turns)
     var cap = 0
+    var nSegs = 0
+    var only: String = null
     for (d <- md.documents; p <- d.paragraphs) {
       cap += p.header.length + p.body.length + 2
+      if (p.header.length > 0) { nSegs += 1; only = p.header.text }
+      if (p.body.length > 0) { nSegs += 1; only = p.body.text }
     }
+    if (nSegs == 0) return ""
+    if (nSegs == 1) return only
     val sb = new java.lang.StringBuilder(cap)
     for (d <- md.documents; p <- d.paragraphs) {
       if (p.header.text.nonEmpty) {

@@ -55,6 +55,12 @@ object Tokenizer {
   }
 
   def tokenize(text: String): Seq[BodyElement] = {
+    // single-line fast path (most transcript turns): no buffers at all
+    if (text.indexOf('\n') < 0 && text.indexOf('\r') < 0 &&
+        !(text.length >= 2 && text.charAt(0) == '|' &&
+          text.charAt(text.length - 1) == '|')) {
+      return ParaElement(parseLine(text)) :: Nil
+    }
     val lines = splitLines(text)
     val out = new ArrayBuffer[BodyElement]
     val pendingTable = new ArrayBuffer[Seq[Seq[Element]]]
