@@ -66,14 +66,16 @@ object Bench {
       s.stop()
     }
 
-    // --- scaling measurement: same job, warmup x2 then best-of-3 ---
-    def measure(cores: Int): (Long, Double) = {
+    // --- scaling measurement: same job at every size, two passes.
+    // Pass 1 exists only to warm the JIT across ALL sizes (a single
+    // ascending pass biases later/larger sizes and can report
+    // efficiency > 1); only pass 2's best-of-3 counts.
+    def measure(cores: Int, timedRuns: Int): (Long, Double) = {
       val s = session(cores)
-      runExtraction(s, inputDir) // warmup (JIT + page cache)
-      runExtraction(s, inputDir)
+      runExtraction(s, inputDir) // per-session warmup
       var turns = 0L
       var best = Double.MaxValue
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to timedRuns) {
         val t0 = System.nanoTime()
         turns = runExtraction(s, inputDir)
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
@@ -83,7 +85,8 @@ object Bench {
     }
     val pairs = Seq(4 -> 16, 8 -> 32).filter(_._2 <= cpus)
     val sizes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val measured = sizes.map(c => c -> measure(c)).toMap
+    sizes.foreach(c => measure(c, 1)) // pass 1: global JIT warm, discarded
+    val measured = sizes.map(c => c -> measure(c, 3)).toMap
     val turnsTotal = measured(sizes.head)._1
     def tp(c: Int): Double = measured(c)._1 / measured(c)._2
     val effs = pairs.map { case (n, n4) =>
@@ -110,8 +113,11 @@ object Bench {
     md ++= "Job: narrow parquet scan (conv_id, turn_idx, text — pruned at the\n"
     md ++= "scan) -> mapPartitions(extraction kernel) -> count. Zero-shuffle:\n"
     md ++= "per-turn extraction is stateless; source splits are size-balanced.\n"
-    md ++= "Method: per size, 2 warmups then best-of-3 (single box, 32 physical\n"
-    md ++= "cores; separate SparkSession per size).\n\n"
+    md ++= "Method: two passes over all sizes — pass 1 warms the JIT globally\n"
+    md ++= "and is discarded; pass 2 is best-of-3 per size (single box,\n"
+    md ++= "32 physical cores; separate SparkSession per size). Scaling numbers\n"
+    md ++= "are meaningful at sf0.1 (4.7M turns); smaller sf inputs are smoke\n"
+    md ++= "scale where fixed overheads dominate.\n\n"
     md ++= "| pair | turns/sec @N | turns/sec @4N | efficiency |\n|---|---|---|---|\n"
     for ((n, n4, a, b, e) <- effs) {
       md ++= f"| local[$n] -> local[$n4] | $a%.0f | $b%.0f | $e%.3f |\n"
