@@ -105,8 +105,7 @@ object ExtractPipeline {
       val slice = withBucket
         .filter(col("bucket").isin(batch: _*))
         .drop("bucket")
-        .as[Turn]
-      val extracted = extract(slice)
+      val extracted = extractNarrow(slice)
         .withColumn("bucket", bucketCol(nBuckets))
         // deterministic layout: one conversation per bucket, sorted
         .repartition(batch.size, col("bucket"))
@@ -148,6 +147,15 @@ object ExtractPipeline {
       .drop("bucket")
       .as[Turn]
   }
+
+  /** The lineage/metrics surface: one row per committed bucket manifest
+    * (bucket, rows, bytes, inputFingerprint, version).
+    */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read
+      .schema("bucket INT, rows BIGINT, bytes BIGINT, " +
+        "inputFingerprint STRING, version STRING")
+      .json(s"$outDir/_manifest/bucket-*.json")
 
   /** Read back a checkpointed table, restricted to committed buckets. */
   def readCommitted(spark: SparkSession, outDir: String): DataFrame = {

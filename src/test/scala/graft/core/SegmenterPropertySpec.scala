@@ -98,6 +98,20 @@ class SegmenterPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("p7 kernel never throws on adversarial garbage (fuzz)") {
+    val rnd = new Random(48L)
+    val alphabet =
+      "<>&|*#^[]()%.\\\"'{}/ \t\r\nабвгПРИЛдоговор формate токен0123**^C #N(1,0) [TOC] <p><script>"
+    for (_ <- 0 until 500) {
+      val len = rnd.nextInt(400)
+      val sb = new StringBuilder
+      for (_ <- 0 until len) sb.append(alphabet(rnd.nextInt(alphabet.length)))
+      val turn = graft.pipeline.Turn("c", 0, "user", sb.toString, null, null)
+      val out = graft.pipeline.TurnExtractor.extract(turn)
+      assert(out.error == null, s"error on:\n${sb.toString}\n${out.error}")
+    }
+  }
+
   test("p6 doc type is always a known enum name") {
     val known = Set(DocType.UNKNOWN, DocType.CONTRACT, DocType.CHARTER,
       DocType.PROTOCOL, DocType.REGULATION, DocType.CHARITY_POLICY,

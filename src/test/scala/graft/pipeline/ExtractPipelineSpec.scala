@@ -98,6 +98,11 @@ class ExtractPipelineSpec extends AnyFunSuite {
     // manifests carry metrics
     val cat = new HadoopManifestCatalog(clean, spark.sparkContext.hadoopConfiguration)
     assert(cat.committedBuckets() == Set(0, 1, 2, 3))
+    // lineage surface: manifest rows sum to the table's row count
+    val manifest = ExtractPipeline.readManifest(spark, clean).collect()
+    assert(manifest.map(_.getAs[Int]("bucket")).toSet == Set(0, 1, 2, 3))
+    assert(manifest.map(_.getAs[Long]("rows")).sum == snap(clean).size)
+    assert(manifest.forall(_.getAs[String]("inputFingerprint") == "seed=42/n=30"))
   }
 
   test("anti-join resume filter equals the isin filter") {
