@@ -115,6 +115,17 @@ class SegmenterSpec extends AnyFunSuite {
     assert(p(1).header == TextSeg(14, "ПРИВЕТ МИР\nHELLO WORLD", 22))
   }
 
+  // g08b — the CAN gate re-derivation inside a multi-col row (:456-457):
+  // isPrevHeader || empty-doc-at-entry reopens the header gate even in a
+  // non-bilingual 2-col table
+  test("g08b table at document start: cells chain into one header") {
+    val md = seg("|**AAAAA**|**BBBBB**|\nплоское тело")
+    val p = paras(md)
+    assert(p.size == 1)
+    assert(p.head.header.text == "AAAAA\nBBBBB")
+    assert(p.head.body.text == "плоское тело")
+  }
+
   // g09 — TOC fields skipped, isPrevHeader reset (:496-499)
   test("g09 toc skipped and resets header state") {
     val md = seg("^C TITLE\n[TOC] toc line\n^C SECOND")
