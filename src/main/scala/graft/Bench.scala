@@ -66,31 +66,38 @@ object Bench {
       s.stop()
     }
 
-    // --- scaling measurement: same job at every size, two passes.
-    // Pass 1 exists only to warm the JIT across ALL sizes (a single
-    // ascending pass biases later/larger sizes and can report
-    // efficiency > 1); only pass 2's best-of-3 counts.
-    def measure(cores: Int, timedRuns: Int): (Long, Double) = {
+    // --- scaling measurement: same job at every size.
+    // Protocol: one discarded warm pass over all sizes (JIT), then per
+    // pair THREE ALTERNATING (N, 4N) measurements; the reported
+    // efficiency is the MEDIAN of the per-alternation ratios. Alternation
+    // cancels slow host drift (shared-VM noise); a single ascending pass
+    // biases later sizes and can even report efficiency > 1.
+    var turnsTotal = 0L
+    def measureOnce(cores: Int): Double = {
       val s = session(cores)
       runExtraction(s, inputDir) // per-session warmup
-      var turns = 0L
-      var best = Double.MaxValue
-      for (_ <- 1 to timedRuns) {
-        val t0 = System.nanoTime()
-        turns = runExtraction(s, inputDir)
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-      }
+      val t0 = System.nanoTime()
+      turnsTotal = runExtraction(s, inputDir)
+      val sec = (System.nanoTime() - t0) / 1e9
       s.stop()
-      (turns, best)
+      turnsTotal / sec
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
     }
     val pairs = Seq(4 -> 16, 8 -> 32).filter(_._2 <= cpus)
-    val sizes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    sizes.foreach(c => measure(c, 1)) // pass 1: global JIT warm, discarded
-    val measured = sizes.map(c => c -> measure(c, 3)).toMap
-    val turnsTotal = measured(sizes.head)._1
-    def tp(c: Int): Double = measured(c)._1 / measured(c)._2
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .foreach(measureOnce) // warm pass, discarded
     val effs = pairs.map { case (n, n4) =>
-      (n, n4, tp(n), tp(n4), (tp(n4) / tp(n)) / (n4.toDouble / n))
+      val alternations = (1 to 3).map { _ =>
+        val tpN = measureOnce(n)
+        val tpN4 = measureOnce(n4)
+        (tpN, tpN4, (tpN4 / tpN) / (n4.toDouble / n))
+      }
+      val eff = median(alternations.map(_._3))
+      (n, n4, median(alternations.map(_._1)),
+        median(alternations.map(_._2)), eff)
     }
 
     // --- per-query timings at full parallelism ---

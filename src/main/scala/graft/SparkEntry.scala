@@ -312,6 +312,15 @@ object SparkEntry {
           col("conv_char_offset"))
     }),
 
+    "q34_token_count_native" -> ((s, dir) => {
+      // the custom codegen Expression, cross-checked against DuckDB
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(graft.functions.TokenCount.tokenCount(col("text")))
+          .as("sum_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     "q29_multimodal_features" -> ((s, dir) => {
       val assets = operators.Multimodal.generate(s, 300)
       val s2 = s
@@ -592,6 +601,16 @@ object SparkEntry {
          WHERE e.vec_id <> 0
          ORDER BY cos DESC, e.vec_id
          LIMIT 10""",
+
+    "q34_token_count_native" ->
+      """SELECT lang,
+           CAST(sum(CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+             ELSE len(string_split_regex(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+             AS BIGINT) AS sum_tokens,
+           count(*) AS n_docs
+         FROM documents
+         GROUP BY lang""",
 
     "q19_embedding_norms" ->
       """SELECT label,
