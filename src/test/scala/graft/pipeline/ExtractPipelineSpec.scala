@@ -9,6 +9,13 @@ class ExtractPipelineSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("driver contract: entry() yields rows with ordered columns") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("conv_id", "turn_idx", "turn_rank",
+      "conv_char_offset", "nParas", "nBytes", "extractedText"))
+    assert(df.count() > 0)
+  }
+
   test("generator is deterministic and independent of parallelism") {
     import spark.implicits._
     val a = Transcripts.generate(spark, 50).collect().sortBy(t => (t.conv_id, t.turn_idx))
