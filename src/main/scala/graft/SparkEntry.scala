@@ -321,6 +321,18 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
+    "q35_winnowing_neardups" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("prefix words then "), col("text")).as("text"))
+      // long k-grams: the synthetic docs share a small vocabulary, so
+      // short grams collide across unrelated docs
+      operators.Winnow.sharedFingerprintPairs(
+        d.unionByName(mutated), "text", "doc_id",
+        k = 24, w = 32, minShared = 8)
+    }),
+
     "q29_multimodal_features" -> ((s, dir) => {
       val assets = operators.Multimodal.generate(s, 300)
       val s2 = s

@@ -140,6 +140,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L) == 1L)
   }
 
+  test("winnowing fingerprints: containment guarantee and selectivity") {
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on and the crowd cheers loudly tonight"
+    // identical text -> identical fingerprint set
+    assert(Winnow.fingerprints(base).toSeq == Winnow.fingerprints(base).toSeq)
+    // shared long substring -> shared fingerprint (winnowing guarantee)
+    val withPrefix = "PREFIX " + base
+    val shared = Winnow.fingerprints(base).toSet
+      .intersect(Winnow.fingerprints(withPrefix).toSet)
+    assert(shared.nonEmpty)
+    // disjoint text -> no shared fingerprints
+    val other = "completely different words appear here nothing matches at all in this sentence structure"
+    assert(Winnow.fingerprints(base).toSet
+      .intersect(Winnow.fingerprints(other).toSet).isEmpty)
+    assert(Winnow.fingerprints("short").isEmpty) // < k chars
+  }
+
+  test("winnowing pair generation finds substring-level near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> ("intro words then " + base),
+      3L -> "unrelated content entirely made of other tokens that share nothing with the rest of them")
+    val pairs = Winnow.sharedFingerprintPairs(d, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("text stats columns") {
     val s = spark
     import s.implicits._
