@@ -296,11 +296,13 @@ object SparkEntry {
     }),
 
     "q26_extract_transcripts" -> ((s, dir) => {
-      // flagship extraction path; conv count scales with sf dir suffix
+      // flagship extraction path; conv count scales with sf dir suffix.
+      // Zero-shuffle narrow plan: extraction is per-turn stateless, so it
+      // runs on source splits; extractBalanced (salted repartition) is
+      // kept only for genuinely skewed source layouts (VERDICT r01 #2).
       val nConvs = if (dir.endsWith("0.1")) 2000L else 300L
       val turns = Transcripts.generate(s, nConvs)
-      ExtractPipeline.extractBalanced(turns,
-        s.sparkContext.defaultParallelism)
+      ExtractPipeline.extractNarrow(turns.toDF())
         .select(col("conv_id"), col("turn_idx"), col("nParas"),
           col("nBytes"), col("error"), col("extractedText"))
     }),

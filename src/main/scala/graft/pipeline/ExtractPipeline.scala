@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.hadoop.fs.Path
 
 /** The distributed extraction pipeline (SURVEY.md §3.4):
   *
@@ -65,17 +64,32 @@ object ExtractPipeline {
   }
 
   /** Stable conversation ordering + conversation-relative offsets: the
-    * window stage the north rule names. Runs over narrow columns only.
+    * window stage the north rule names.
+    *
+    * The window runs over a NARROW projection only — (conv_id, turn_idx,
+    * extracted length) — so the conv_id exchange ships ~20-byte rows: an
+    * 8000-turn zipf-tail conversation lands ~160 KB on its task, never its
+    * payload. The payload rejoins on (conv_id, turn_idx) — a two-column
+    * hash key that cannot have a hot value. At table scale call this on
+    * the written table (readCommitted), where the narrow branch is a
+    * column-pruned parquet scan; on an unmaterialized Dataset the narrow
+    * branch recomputes extraction (documented trade: 2x stateless map CPU
+    * beats shuffling every byte of a hot conversation to one task).
     */
   def withConvOrder(extracted: Dataset[ExtractedTurn]): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    extracted.toDF()
+    val df = extracted.toDF()
+    val narrow = df
+      .select(col("conv_id"), col("turn_idx"),
+        length(col("extractedText")).as("_len"))
       .withColumn("turn_rank", row_number().over(w))
       .withColumn("conv_char_offset",
         coalesce(
-          sum(length(col("extractedText")) + lit(1))
+          sum(col("_len") + lit(1))
             .over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      .drop("_len")
+    df.join(narrow, Seq("conv_id", "turn_idx"))
   }
 
   /** Checkpointed run: processes only uncommitted buckets, committing a
@@ -110,25 +124,33 @@ object ExtractPipeline {
         // deterministic layout: one conversation per bucket, sorted
         .repartition(batch.size, col("bucket"))
         .sortWithinPartitions("conv_id", "turn_idx")
-      extracted.write
+      // per-bucket metrics ride the write job itself (observe = task-side
+      // accumulators): zero extra jobs vs the old per-bucket read-back
+      // loop, which was a driver bottleneck at 10^5+ buckets. `bytes` is
+      // the extracted-payload byte count (sum of nBytes) — stable across
+      // file compression, which is the lineage-relevant quantity.
+      val obs = org.apache.spark.sql.Observation(
+        s"commit-metrics-${batch.head}")
+      val metricExprs = batch.flatMap { b =>
+        Seq(
+          count(when(col("bucket") === b, 1)).as(s"rows_$b"),
+          coalesce(sum(when(col("bucket") === b, col("nBytes"))), lit(0L))
+            .as(s"bytes_$b"))
+      }
+      extracted
+        .observe(obs, metricExprs.head, metricExprs.tail: _*)
+        .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(outDir)
-      // metrics from the written files (footer-only count, no re-scan)
+      val m = obs.get
       for (b <- batch) {
-        val bucketPath = s"$outDir/bucket=$b"
-        val fs = new Path(outDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(new Path(bucketPath))
-        val rows =
-          if (exists) spark.read.parquet(bucketPath).count() else 0L
-        val bytes =
-          if (exists) fs.getContentSummary(new Path(bucketPath)).getLength
-          else 0L
         catalog.commit(
-          ManifestEntry(b, rows, bytes, inputFingerprint,
-            graft.BuildInfo.version))
+          ManifestEntry(b,
+            m(s"rows_$b").asInstanceOf[Long],
+            m(s"bytes_$b").asInstanceOf[Long],
+            inputFingerprint, graft.BuildInfo.version))
       }
     }
   }

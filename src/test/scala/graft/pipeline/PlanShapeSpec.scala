@@ -59,6 +59,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), plan)
   }
 
+  test("conv-order window carries only narrow columns below its exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val turns = Transcripts.generate(spark, 5)
+    val df = ExtractPipeline.withConvOrder(ExtractPipeline.extract(turns))
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "plan must contain a Window node")
+    for (w <- wins) {
+      val below = w.child.output.map(_.name)
+      val heavy = Seq("documents", "extractedText", "spans")
+      assert(!below.exists(heavy.contains),
+        s"window input must be narrow, got: ${below.mkString(",")}")
+    }
+    // the payload still reaches the output (via the two-key join)
+    assert(df.columns.contains("extractedText"))
+    assert(df.columns.contains("turn_rank"))
+  }
+
+  test("q26 flagship extraction plan has no Exchange") {
+    val plan = graft.SparkEntry.queries("q26_extract_transcripts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("checkpointed resume prunes committed buckets at the filter level") {
     val turns = Transcripts.generate(spark, 10)
     val withBucket = turns.withColumn("bucket", ExtractPipeline.bucketCol(4))
