@@ -1,16 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for web-scale corpora.
   *
-  * Scale design: every variant is a bucket-join, never an all-pairs
-  * product — candidates meet only inside an LSH/band/chunk bucket, so the
-  * shuffle key is the bucket hash (balanced by construction) and the
-  * quadratic step is bounded per bucket (`maxBucket` guard against
-  * degenerate buckets, logged via the dropped flag rather than silently).
+  * Scale design, shared by every near-dup variant (MinHash LSH here,
+  * SimHash here, winnowing in [[Winnow]], embedding-cosine in
+  * [[Similarity]]):
+  *
+  *   1. candidates meet only inside an LSH/band/chunk bucket — never an
+  *      all-pairs product; the shuffle key is the bucket hash;
+  *   2. exact duplicates are collapsed to one representative BEFORE any
+  *      LSH stage (the most-duplicated web content — boilerplate,
+  *      licenses — is byte-identical, and it is exactly what used to
+  *      blow the bucket cap); member pairs are expanded back at the end,
+  *      so output semantics are unchanged;
+  *   3. bucket shuffles carry (id, bucketKey) ONLY — shingle arrays and
+  *      embedding vectors rejoin by id for the exact verification of the
+  *      (small) candidate set, instead of being replicated through every
+  *      band (a 16x corpus blow-up at bands=16);
+  *   4. a bucket still larger than `maxBucket` after exact-collapse is
+  *      capped to a deterministic sample (ids sorted, first `maxBucket`)
+  *      — recall degrades gracefully instead of the bucket silently
+  *      vanishing — and the cap is COUNTED: pass an
+  *      [[org.apache.spark.sql.Observation]] as `statsObs` and read
+  *      `n_buckets` / `n_oversized_buckets` / `n_docs_dropped` after the
+  *      action completes.
+  *
+  * Note on output size: the pair contract is inherently quadratic in
+  * cluster size (a verified 10^4-member cluster IS ~5*10^7 pairs). When a
+  * summarized report is enough, use [[exactDupGroups]] + the rep-level
+  * pairs instead of the expanded output.
   */
 object Dedup {
 
@@ -29,6 +51,71 @@ object Dedup {
       .orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---------- shared scale plumbing ----------
+
+  /** (id, rep) mapping with rep = min(id) per exact-group key. Groups
+    * stay as ROWS (no collect_list), so a 10^9-member cluster is 10^9
+    * narrow rows, never one driver-sized row; the group-key join is
+    * AQE-skew-splittable because the aggregated side has one row per key.
+    */
+  private[operators] def repMapping(keyed: DataFrame): DataFrame =
+    keyed.groupBy("gk").agg(min("id").as("rep"))
+      .join(keyed, "gk")
+      .select("id", "rep")
+
+  /** Candidate pairs from id-only buckets, with the deterministic cap of
+    * scale rule 4 (ids sorted, first `maxBucket` kept) and optional
+    * observed drop metrics. Input: one row per bucket with an `ids`
+    * array column. Output: distinct (id_a < id_b) pairs.
+    */
+  private[operators] def bucketPairs(buckets: DataFrame, maxBucket: Int,
+      statsObs: Option[Observation]): DataFrame = {
+    val withCap = buckets
+      .withColumn("_n", size(col("ids")))
+      .filter(col("_n") >= 2)
+      .withColumn("_capped", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
+    val observed = statsObs match {
+      case Some(o) => withCap.observe(o,
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("_n") > maxBucket, 1L)), lit(0L))
+          .as("n_oversized_buckets"),
+        coalesce(sum(when(col("_n") > maxBucket, col("_n") - maxBucket)),
+          lit(0L)).as("n_docs_dropped"))
+      case None => withCap
+    }
+    observed.select(explode(expr(
+      """flatten(transform(_capped, (a, i) ->
+           transform(slice(_capped, i + 2, size(_capped)), b ->
+             struct(a as id_a, b as id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Expand verified representative pairs to member pairs: every member
+    * of rep_a's exact group pairs with every member of rep_b's, carrying
+    * the verified payload column (identical inputs have identical
+    * shingles/vectors, so the metric transfers exactly).
+    */
+  private[operators] def expandCross(repPairs: DataFrame, mapping: DataFrame,
+      payloadCol: String): DataFrame =
+    repPairs
+      .join(mapping.select(col("rep").as("id_a"), col("id").as("_ma")), "id_a")
+      .join(mapping.select(col("rep").as("id_b"), col("id").as("_mb")), "id_b")
+      .select(least(col("_ma"), col("_mb")).as("id_a"),
+        greatest(col("_ma"), col("_mb")).as("id_b"), col(payloadCol))
+
+  /** Internal pairs of each exact group restricted to eligible reps
+    * (single-column `rep` DataFrame): (id_a < id_b) member pairs.
+    */
+  private[operators] def expandInternal(mapping: DataFrame,
+      eligibleReps: DataFrame): DataFrame = {
+    val members = mapping.join(eligibleReps, Seq("rep"), "left_semi")
+    members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   // ---------- shingles / jaccard ----------
@@ -127,59 +214,87 @@ object Dedup {
     sig
   }
 
+  /** Band keys of a signature (band index mixed into the key). */
+  private def bandKeyArray(sig: Array[Long], bands: Int,
+      rowsPerBand: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var h = 0x9e3779b97f4a7c15L + b
+      var r = 0
+      while (r < rowsPerBand) {
+        h ^= sig(b * rowsPerBand + r)
+        h *= 0xff51afd7ed558ccdL
+        r += 1
+      }
+      h
+    }
+
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
-    * @param maxBucket  candidate-bucket cap (skew guard; a bucket larger
-    *                   than this is dropped rather than exploded
-    *                   quadratically)
+    * Pipeline (scale rules 1-4 above):
+    * exact-collapse -> per-rep signatures -> (id, bandKey)-only banding
+    * -> capped in-bucket candidate pairs -> shingle rejoin + exact
+    * Jaccard verify on candidates -> member-pair expansion.
+    *
+    * At table scale, persist the collapsed representative table before
+    * this call (it is scanned for signatures and again for the candidate
+    * verify); at query scale the double scan is cheaper than a cache.
+    *
+    * @param maxBucket per-bucket candidate cap AFTER exact-collapse: an
+    *                  oversized bucket contributes a deterministic
+    *                  `maxBucket`-doc sample instead of vanishing; pass
+    *                  `statsObs` to count capped buckets/docs
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 64,
+      statsObs: Option[Observation] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
-    val withSig = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+
+    // 1. exact-dup collapse (128-bit key: no false merges)
+    val mapping = repMapping(
+      base.select(col("id"), md5(TextStats.normalize(col("text"))).as("gk")))
+    val reps = base.join(mapping, "id")
+      .filter(col("id") === col("rep")).select("id", "text")
+
+    // 2. banding: (id, bandKey) rows ONLY through the shuffle
+    val banded = reps.as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
         val sh = shingleSet(text, shingleK)
-        val sig = minhashSig(sh, numHashes)
-        // band key: mix of the band's signature slice
-        val bkeys = Array.tabulate(bands) { b =>
-          var h = 0x9e3779b97f4a7c15L + b
-          var r = 0
-          while (r < rowsPerBand) {
-            h ^= sig(b * rowsPerBand + r)
-            h *= 0xff51afd7ed558ccdL
-            r += 1
-          }
-          h
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = minhashSig(sh, numHashes)
+          bandKeyArray(sig, bands, rowsPerBand).iterator.map(k => (id, k))
         }
-        (id, sh, bkeys)
       })
-      .toDF("id", "sh", "bkeys")
-      .filter(size(col("sh")) > 0)
-    val buckets = withSig
-      .select(col("id"), col("sh"), posexplode(col("bkeys")))
-      .groupBy(col("pos"), col("col"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    // in-bucket pair expansion (bounded by maxBucket^2), then exact verify
-    val pairs = buckets
-      .select(explode(expr(
-        """filter(
-             flatten(transform(docs, (a, i) ->
-               transform(slice(docs, i + 2, size(docs)), b ->
-                 struct(a.id as id_a, b.id as id_b, a.sh as sh_a, b.sh as sh_b)))),
-             p -> p.id_a < p.id_b)""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .toDF("id", "bkey")
+
+    // 3. capped candidate pairs between representatives
+    val buckets = banded.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
+    val candPairs = bucketPairs(buckets, maxBucket, statsObs)
+
+    // 4. exact verify: rejoin texts by id, recompute shingle sets
+    val shA = reps.select(col("id").as("id_a"),
+      wordShingles(col("text"), shingleK).as("_sh_a"))
+    val shB = reps.select(col("id").as("id_b"),
+      wordShingles(col("text"), shingleK).as("_sh_b"))
+    val verified = candPairs
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", round(jaccard(col("_sh_a"), col("_sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+    // 5. expansion: member pairs + internal pairs of exact groups
+    //    (eligible = groups whose text yields >=1 shingle, matching the
+    //    banding-stage gate; identical texts have Jaccard exactly 1.0)
+    val eligible = banded.select(col("id").as("rep")).distinct()
+    val internal = expandInternal(mapping, eligible)
+      .withColumn("jaccard", lit(1.0))
+    expandCross(verified, mapping, "jaccard").unionByName(internal)
   }
 
   // ---------- SimHash ----------
@@ -208,14 +323,58 @@ object Dedup {
     sig
   }
 
-  /** SimHash near-dup pairs: pigeonhole on 4x16-bit chunks (hamming<=3
-    * guarantees at least one equal chunk), verify hamming distance.
+  /** 5 chunks of the 64-bit signature: 13+13+13+13+12 bits. */
+  private[operators] def simhashChunks(sig: Long): Array[Int] = Array(
+    (sig & 0x1fff).toInt,
+    ((sig >>> 13) & 0x1fff).toInt,
+    ((sig >>> 26) & 0x1fff).toInt,
+    ((sig >>> 39) & 0x1fff).toInt,
+    ((sig >>> 52) & 0xfff).toInt)
+
+  /** Multi-table bucket keys, Manku-style (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — public
+    * knowledge): one key per PAIR of chunks, C(5,2) = 10 tables, each
+    * keyed on ~2^26 values (13+13 bits, table id in the high bits).
+    * Hamming <= 3 flips touch at most 3 of the 5 chunks, leaving >= 2
+    * clean chunks, so the pair of clean chunks collides in its table —
+    * the recall guarantee of the old single-chunk pigeonhole is kept
+    * while the per-table keyspace grows from 2^16 to ~2^26: at 10^9 docs
+    * the expected bucket occupancy is ~15 per table instead of ~15000.
+    */
+  private[operators] def simhashPairKeys(sig: Long): Array[Long] = {
+    val c = simhashChunks(sig)
+    val out = new Array[Long](10)
+    var t = 0
+    var i = 0
+    while (i < 4) {
+      var j = i + 1
+      while (j < 5) {
+        out(t) = (t.toLong << 32) | (c(i).toLong << 13) | c(j).toLong
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: multi-table chunk-pair keying (recall
+    * guarantee for hamming <= 3, see [[simhashPairKeys]]), hamming
+    * verified exactly on the candidate set. Same scale pipeline as
+    * [[minhashNearDups]]: identical signatures (hamming 0) collapse to a
+    * representative before keying — this collapse is semantically exact,
+    * not a hash approximation — and expand back afterwards.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 64,
+                      statsObs: Option[Observation] = None): DataFrame = {
+    require(maxHamming <= 3,
+      "chunk-pair keying guarantees recall only for hamming <= 3 " +
+        "(5 chunks - maxHamming flipped must leave >= 2 clean)")
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = if (text == null) Array.empty[String]
@@ -223,26 +382,36 @@ object Dedup {
         (id, simhash64(toks))
       }
       .toDF("id", "sig")
-    val chunked = sigs.select(col("id"), col("sig"),
-      explode(expr(
-        """transform(sequence(0, 3), c -> struct(
-             c as chunk,
-             shiftright(sig, cast(c * 16 as int)) & 65535 as ckey))"""))
-        .as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ckey"))
-    val buckets = chunked.groupBy("chunk", "ckey")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    buckets
-      .select(explode(expr(
-        """filter(
-             flatten(transform(docs, (a, i) ->
-               transform(slice(docs, i + 2, size(docs)), b ->
-                 struct(a.id as id_a, b.id as id_b, a.sig as sig_a, b.sig as sig_b)))),
-             p -> p.id_a < p.id_b)""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+
+    // exact collapse on the full signature (hamming 0 — exact semantics)
+    val mapping = repMapping(sigs.select(col("id"), col("sig").as("gk")))
+    val reps = sigs.join(mapping, "id")
+      .filter(col("id") === col("rep")).select("id", "sig")
+
+    // (id, tableKey) rows only through the shuffle
+    val keyed = reps.as[(Long, Long)]
+      .mapPartitions(_.flatMap { case (id, sig) =>
+        simhashPairKeys(sig).iterator.map(k => (id, k))
+      })
+      .toDF("id", "bkey")
+    val buckets = keyed.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
+    val candPairs = bucketPairs(buckets, maxBucket, statsObs)
+
+    // exact hamming verify on candidates (sig rejoin by id)
+    val sa = reps.select(col("id").as("id_a"), col("sig").as("_sig_a"))
+    val sb = reps.select(col("id").as("id_b"), col("sig").as("_sig_b"))
+    val verified = candPairs
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("hamming",
+        bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+
+    // expansion: cross pairs inherit the reps' hamming exactly (identical
+    // sig); internal pairs of a sig group have hamming 0
+    val internal = expandInternal(mapping,
+        reps.select(col("id").as("rep")))
+      .withColumn("hamming", lit(0))
+    expandCross(verified, mapping, "hamming").unionByName(internal)
   }
 }

@@ -80,15 +80,19 @@ object Multimodal {
     h
   }
 
-  /** The distributed transform: repartition by modality hash (codec
-    * working-set locality — image decoders batch with image decoders),
-    * then batch-decode per partition. One serde boundary, no driver loop.
+  /** The distributed transform: repartition by (modality, asset-id hash)
+    * — modality keeps codec working sets together (image decoders batch
+    * with image decoders) while the id-hash term spreads each modality
+    * over all `partitions` tasks (keying on modality alone collapses
+    * parallelism to the 3 distinct values). One serde boundary, no
+    * driver loop.
     */
   def extractFeatures(assets: Dataset[MediaAsset],
                       partitions: Int): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(partitions, col("meta.modality"))
+      .repartition(partitions, col("meta.modality"),
+        pmod(xxhash64(col("asset_id")), lit(partitions)))
       .mapPartitions(_.map { a =>
         try {
           val feats = decodeStub(a.bytes, a.meta)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -79,30 +79,63 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets + exact verify
-    * (the embedding leg of the dedup suite).
+  /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    * LSH + exact verify (the embedding leg of the dedup suite).
+    *
+    * Scale rules shared with [[Dedup]] (see its scaladoc): identical
+    * vectors collapse to one representative before bucketing; the bucket
+    * shuffle carries (id, tableKey) only — vectors rejoin by id for the
+    * exact cosine of the candidate set; an oversized bucket contributes
+    * a deterministic `maxBucket` sample (counted into `statsObs`)
+    * instead of silently vanishing.
+    *
+    * Keyspace sizing: `tables` independent sign-pattern tables of 2^bits
+    * buckets each. Choose `bits ~ log2(corpusSize / targetBucket)` — for
+    * 10^9 vectors and ~64-doc buckets, bits=24; the 16-bit default fits
+    * ~10^7. Recall for a pair at angle theta is
+    * 1-(1-(1-theta/pi)^bits)^tables per the standard hyperplane-LSH
+    * analysis; identical vectors always collide in every table.
     */
   def cosineNearDups(df: DataFrame, vecCol: String, idCol: String,
-                     threshold: Double = 0.95, bits: Int = 10,
-                     maxBucket: Int = 256, seed: Long = 7L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(dim, bits, seed)
-    val bucketed = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-    val buckets = bucketed.groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    buckets
-      .select(explode(expr(
-        """filter(
-             flatten(transform(docs, (a, i) ->
-               transform(slice(docs, i + 2, size(docs)), b ->
-                 struct(a.id as id_a, b.id as id_b, a.v as v_a, b.v as v_b)))),
-             p -> p.id_a < p.id_b)""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        round(cosine(col("p.v_a"), col("p.v_b")), 6).as("cos"))
-      .dropDuplicates("id_a", "id_b")
+                     threshold: Double = 0.95, bits: Int = 16,
+                     tables: Int = 4, maxBucket: Int = 256,
+                     seed: Long = 7L,
+                     statsObs: Option[Observation] = None): DataFrame = {
+    require(bits <= 32, "bits must fit the per-table key")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).first().getInt(0)
+
+    // exact collapse on identical vectors (128-bit key: no false merges)
+    val mapping = Dedup.repMapping(
+      base.select(col("id"), md5(to_json(col("v"))).as("gk")))
+    val reps = base.join(mapping, "id")
+      .filter(col("id") === col("rep")).select("id", "v")
+
+    // (id, tableKey) rows only through the shuffle
+    val keyCols = (0 until tables).map { t =>
+      lit(t.toLong << 33) +
+        lshBucket(col("v"), hyperplanes(dim, bits, seed + t))
+    }
+    val keyed = reps.select(col("id"), explode(array(keyCols: _*)).as("bkey"))
+    val buckets = keyed.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
+    val candPairs = Dedup.bucketPairs(buckets, maxBucket, statsObs)
+
+    // exact cosine verify on candidates (vector rejoin by id)
+    val va = reps.select(col("id").as("id_a"), col("v").as("_v_a"))
+    val vb = reps.select(col("id").as("id_b"), col("v").as("_v_b"))
+    val verified = candPairs
+      .join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", round(cosine(col("_v_a"), col("_v_b")), 6))
       .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+
+    // expansion: cross pairs inherit the reps' cosine exactly (identical
+    // vectors); internal pairs of a non-zero vector group have cosine 1
+    val eligible = reps.filter(l2norm(col("v")) > 0)
+      .select(col("id").as("rep"))
+    val internal = Dedup.expandInternal(mapping, eligible)
+      .withColumn("cos", lit(1.0))
+    Dedup.expandCross(verified, mapping, "cos").unionByName(internal)
   }
 }

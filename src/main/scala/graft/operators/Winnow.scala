@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Document fingerprinting by rolling hash + winnowing (Schleimer,
@@ -69,32 +69,78 @@ object Winnow {
   /** Near-dup candidate pairs: docs sharing any winnowing fingerprint
     * (bucket join on the fingerprint — same scale shape as MinHash LSH),
     * scored by the count of shared fingerprints.
+    *
+    * Scale rules shared with [[Dedup]]: exact duplicates (identical
+    * lowercased text => identical fingerprint set) collapse to one
+    * representative before bucketing, so boilerplate mega-clusters can't
+    * blow the bucket cap; a hot fingerprint bucket larger than
+    * `maxBucket` contributes a deterministic sample (ids sorted, first
+    * maxBucket) instead of silently vanishing, with the cap counted into
+    * `statsObs` (n_buckets / n_oversized_buckets / n_docs_dropped).
+    * Member pairs are expanded back at the end: cross pairs inherit the
+    * representative pair's n_shared exactly (identical fingerprint
+    * sets); internal pairs of an exact group share ALL fingerprints, so
+    * n_shared = the group's distinct fingerprint count.
     */
   def sharedFingerprintPairs(df: DataFrame, textCol: String, idCol: String,
                              k: Int = 8, w: Int = 16,
                              minShared: Int = 2,
-                             maxBucket: Int = 64): DataFrame = {
+                             maxBucket: Int = 64,
+                             statsObs: Option[Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fps = df.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        fingerprints(text, k, w).map(fp => (id, fp))
-      }
-      .toDF("id", "fp")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+
+    // exact collapse (fingerprints depend on lowercased text only)
+    val mapping = Dedup.repMapping(
+      base.select(col("id"), md5(lower(col("text"))).as("gk")))
+    val reps = base.join(mapping, "id")
+      .filter(col("id") === col("rep")).select("id", "text")
+
+    // (id, fp, nfp) rows; nfp rides along for the internal-pair score
+    val fps = reps.as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val f = fingerprints(text, k, w)
+        f.iterator.map(fp => (id, fp, f.length))
+      })
+      .toDF("id", "fp", "nfp")
+
+    // capped buckets; pairs are NOT deduped here — n_shared is the count
+    // of buckets (fingerprints) a pair co-occurs in
     val buckets = fps.groupBy("fp")
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    buckets
+      .withColumn("_n", size(col("ids")))
+      .filter(col("_n") >= 2)
+      .withColumn("_capped", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
+    val observed = statsObs match {
+      case Some(o) => buckets.observe(o,
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("_n") > maxBucket, 1L)), lit(0L))
+          .as("n_oversized_buckets"),
+        coalesce(sum(when(col("_n") > maxBucket, col("_n") - maxBucket)),
+          lit(0L)).as("n_docs_dropped"))
+      case None => buckets
+    }
+    val verified = observed
       .select(explode(expr(
-        """filter(
-             flatten(transform(ids, (a, i) ->
-               transform(slice(ids, i + 2, size(ids)), b ->
-                 struct(a as id_a, b as id_b)))),
-             p -> p.id_a < p.id_b)""")).as("p"))
+        """flatten(transform(_capped, (a, i) ->
+             transform(slice(_capped, i + 2, size(_capped)), b ->
+               struct(a as id_a, b as id_b))))""")).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+    // expansion (see scaladoc): internal groups qualify iff their
+    // fingerprint count reaches minShared
+    val eligible = fps.select(col("id").as("rep"), col("nfp"))
+      .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
+      .filter(col("_gn") >= minShared)
+    val members = mapping.join(eligible, "rep")
+    val internal = members.select(col("rep"), col("_gn"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_gn").as("n_shared"))
+    Dedup.expandCross(verified, mapping, "n_shared").unionByName(internal)
   }
 }

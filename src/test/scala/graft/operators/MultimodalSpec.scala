@@ -29,6 +29,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => again(f.asset_id) == f.checksum))
   }
 
+  test("decode parallelism spreads past the 3 modality values") {
+    // VERDICT r01 #5: keying on modality alone collapsed the stage to
+    // <=3 non-empty partitions; the (modality, id-hash) key must spread
+    import spark.implicits._
+    val assets = Multimodal.generate(spark, 200)
+    val nonEmpty = Multimodal.extractFeatures(assets, 16)
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(nonEmpty > 3, s"only $nonEmpty non-empty partitions")
+  }
+
   test("frame sampling windows") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.frameSample(bytes, 10, 3)

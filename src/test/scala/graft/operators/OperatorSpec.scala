@@ -53,14 +53,86 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("a 500-identical-doc cluster is still reported (no silent cap)") {
+    // VERDICT r01 #3: mega-clusters of identical content used to exceed
+    // maxBucket and vanish silently. Exact-dup pre-collapse keeps them:
+    // one representative goes through LSH, members expand back.
+    val boiler = "this license text is repeated verbatim across the corpus " +
+      "many times over and forms a mega cluster of identical documents"
+    val rows = (1L to 500L).map(i => i -> boiler) :+
+      (900L -> (boiler + " with a small suffix change here")) :+
+      (901L -> "entirely different content that matches nothing else at all here")
+    val d = docs(rows: _*)
+    val obs = org.apache.spark.sql.Observation("minhash-cap-test")
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id",
+        threshold = 0.5, maxBucket = 8, statsObs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the full cluster: all C(500,2) internal pairs present
+    val internal = pairs.filter { case (a, b) => a <= 500 && b <= 500 }
+    assert(internal.length == 500 * 499 / 2)
+    // the near-dup doc pairs with the whole cluster, via its representative
+    assert(pairs.count { case (a, b) => b == 900L || a == 900L } == 500)
+    assert(!pairs.exists { case (a, b) => a == 901L || b == 901L })
+    // and nothing was dropped: the collapse kept every bucket <= cap
+    val m = obs.get
+    assert(m("n_docs_dropped").asInstanceOf[Long] == 0L)
+    assert(m("n_oversized_buckets").asInstanceOf[Long] == 0L)
+  }
+
+  test("oversized hot bucket degrades to a counted sample, not silence") {
+    // 100 DISTINCT docs sharing one long substring -> one hot winnowing
+    // fingerprint bucket; with maxBucket=10 the bucket must still emit
+    // pairs among its sampled members and count the overflow.
+    val common = "shared boilerplate segment that is long enough to produce " +
+      "a stable winnowing fingerprint across every single document here"
+    val rows = (1L to 100L).map(i => i -> s"doc $i unique preamble $i $common")
+    val obs = org.apache.spark.sql.Observation("winnow-cap-test")
+    val pairs = Winnow.sharedFingerprintPairs(docs(rows: _*), "text", "doc_id",
+        minShared = 1, maxBucket = 10, statsObs = Some(obs))
+      .collect()
+    assert(pairs.nonEmpty, "sampled pairs must survive the cap")
+    val m = obs.get
+    assert(m("n_oversized_buckets").asInstanceOf[Long] >= 1L)
+    assert(m("n_docs_dropped").asInstanceOf[Long] > 0L)
+  }
+
+  test("simhash chunk-pair keys guarantee recall for hamming <= 3") {
+    // Manku-style property: for ANY signature and ANY <=3 flipped bits,
+    // at least one of the 10 chunk-pair tables yields an equal key.
+    val rnd = new scala.util.Random(1234L)
+    for (_ <- 1 to 200) {
+      val sig = rnd.nextLong()
+      val nFlips = 1 + rnd.nextInt(3)
+      val flipped = (1 to nFlips).foldLeft(sig) { (s, _) =>
+        s ^ (1L << rnd.nextInt(64))
+      }
+      val shared = Dedup.simhashPairKeys(sig).toSet
+        .intersect(Dedup.simhashPairKeys(flipped).toSet)
+      assert(shared.nonEmpty, f"no shared key: sig=$sig%x flipped=$flipped%x")
+    }
+  }
+
+  test("simhash exact-sig collapse expands back with hamming 0") {
+    val words = (1 to 60).map(i => s"token$i")
+    val base = words.mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> base,
+      4L -> "completely different other tokens everywhere nothing shared")
+    val out = Dedup.simhashNearDups(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+  }
+
   test("simhash near-dups by hamming distance") {
-    // simhash needs enough tokens for stable bit votes; 60 words, 1 changed
+    // simhash needs enough tokens for stable bit votes; 60 words, 1
+    // changed -> true hamming 2 (within the chunk-pair recall guarantee)
     val words = (1 to 60).map(i => s"token$i")
     val base = words.mkString(" ")
     val near = words.updated(30, "changed").mkString(" ")
     val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    def sig(t: String) = Dedup.simhash64(t.split(" ").toSeq)
+    assert(java.lang.Long.bitCount(sig(base) ^ sig(near)) <= 3)
     val d = docs(1L -> base, 2L -> near, 3L -> far)
-    val pairs = Dedup.simhashNearDups(d, "text", "doc_id", maxHamming = 12)
+    val pairs = Dedup.simhashNearDups(d, "text", "doc_id")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
