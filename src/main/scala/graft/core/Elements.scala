@@ -55,6 +55,15 @@ final case class ListRef(listId: Int, ilvl: Int, numFmt: String,
   * @param boilerplate     tokenizer-classified boilerplate (HTML strip
   *                        path) — same skip route as isToc, but recorded
   *                        under its own span kind
+  * @param docDialect      route the header predicate through the DOC
+  *                        (HWPF) variant (DocumentParser.java:809-859)
+  *                        instead of the DOCX one (:885-947): per-run
+  *                        caps check, direct run bold, the
+  *                        fontAlignment/justification route
+  * @param fontAlignment   DOC paragraph.getFontAlignment(); == 3 is a
+  *                        header route (:828-832)
+  * @param justification   DOC paragraph.getJustification(); 1 (center)
+  *                        or 2 (right) is a header route (:828-832)
   */
 final case class Element(
     text: String,
@@ -65,7 +74,10 @@ final case class Element(
     canBeHeader: Option[CanBeHeader] = None,
     listRef: Option[ListRef] = None,
     isToc: Boolean = false,
-    boilerplate: Boolean = false)
+    boilerplate: Boolean = false,
+    docDialect: Boolean = false,
+    fontAlignment: Int = 0,
+    justification: Int = 0)
 
 /** Body-element stream: paragraphs or tables (BodyElementType dispatch,
   * DocumentParser.java:404-475). A table is rows -> cells -> paragraphs.

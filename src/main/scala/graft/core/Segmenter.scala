@@ -38,6 +38,16 @@ object Segmenter {
   private val minHeaderIndentationLeft = 0.25f
   private val maxDocTypeDetectionHeaders = 5
 
+  /** DocumentParser.java:64 declares maxBodyLength = 100000 but never
+    * enforces it; we DO enforce it as a per-segment accumulation guard
+    * (bounded task memory at 10^12-turn scale): once a body segment
+    * reaches the bound, further appends to it are recorded as
+    * "body_overflow" spans instead of growing the segment. Divergence
+    * from the reference is deliberate and only reachable past 100k chars
+    * in one paragraph body.
+    */
+  val maxBodyLength = 100000
+
   /** keyword -> DocumentType (DocumentParser.java:37-50). The reference
     * stores these in a HashMap whose iteration order only matters for
     * exact-offset ties (strict `>` at :377); we fix declaration order.
@@ -247,6 +257,9 @@ object Segmenter {
         if (st.currentParagraph.body.offset == -1) {
           st.currentParagraph.body =
             new SegBuilder(st.globalOffset, prefixed)
+        } else if (st.currentParagraph.body.length >= maxBodyLength) {
+          // maxBodyLength guard (see constant scaladoc): record, don't grow
+          st.spans += Span("body_overflow", st.globalOffset, el.text.length)
         } else {
           st.currentParagraph.body.addText(prefixed)
         }
@@ -291,8 +304,12 @@ object Segmenter {
     * Order of checks is load-bearing: indent, then alignment, then the
     * >=5-alphanumerics gate, then all-runs-bold (with the XOR style-chain
     * inheritance) OR whole-paragraph-capitalized.
+    *
+    * Elements flagged `docDialect` route through the DOC (HWPF) variant
+    * instead — see [[isHeaderDoc]] for the differences.
     */
   def isHeader(el: Element): Boolean = {
+    if (el.docDialect) return isHeaderDoc(el)
     if (el.indentRatio > minHeaderIndentationLeft) return true // :899-901
     if (el.align == Align.Center || el.align == Align.Right) return true // :904-906
     if (!hasAlnumRun5(el.text)) return false // :909-912
@@ -315,6 +332,63 @@ object Segmenter {
       }
     }
     allBold || allCapitalized
+  }
+
+  /** Header predicate ~ isHeader DOC variant (DocumentParser.java:809-859)
+    * — the HWPF dialect differs from DOCX in three load-bearing ways:
+    *
+    *   1. routing on fontAlignment == 3 OR justification in {1, 2}
+    *      (:828-832) instead of the ParagraphAlignment CENTER/RIGHT enum;
+    *   2. the caps check is PER RUN (:839-858): every non-blank run must
+    *      individually equal its uppercase AND contain its own >=5-char
+    *      [A-ZА-Я] sequence — "ABC " + "DEFGH" as two runs is NOT a caps
+    *      header here, while the DOCX whole-paragraph check (:929-934)
+    *      accepts it;
+    *   3. run bold is read directly (CharacterRun.isBold, :853) — no
+    *      XOR style-chain inheritance.
+    *
+    * The table branch of the reference predicate (:816-822: multi-column
+    * non-bilingual cell => false) is handled by the CanBeHeader gate the
+    * table traversal computes (:443-458 analog in processBodyElement),
+    * identically for both dialects.
+    */
+  def isHeaderDoc(el: Element): Boolean = {
+    if (el.indentRatio > minHeaderIndentationLeft) return true // :824-826
+    if (el.fontAlignment == 3 ||
+        el.justification == 1 || el.justification == 2) return true // :828-832
+    if (!hasAlnumRun5(el.text)) return false // :834-837
+    var allBold = true
+    var allCapitalized = true
+    val it = el.runs.iterator
+    while (it.hasNext && (allBold || allCapitalized)) { // :839-858
+      val run = it.next()
+      if (!SegBuilder.blankTrim(run.text)) {
+        if (!runIsUpperWithRun(run.text)) allCapitalized = false
+        if (!run.bold.getOrElse(run.styleBold)) allBold = false
+      }
+    }
+    allBold || allCapitalized
+  }
+
+  /** Per-run caps test of the DOC dialect (:849-852): the run equals its
+    * own toUpperCase AND (after uppercasing — which is a no-op given the
+    * first condition) contains a >=5 sequence of [A-ZА-Я]. Allocation-free
+    * scan with the same string-level fallback as [[isAllUpperWithRun]].
+    */
+  private def runIsUpperWithRun(text: String): Boolean = {
+    var run = 0
+    var hasRun = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.toUpperCase(c) != c) return false
+      val inAlpha = (c >= 'A' && c <= 'Z') || (c >= 'А' && c <= 'Я')
+      if (inAlpha) { run += 1; if (run >= 5) hasRun = true }
+      else run = 0
+      i += 1
+    }
+    hasRun && text == text.toUpperCase
   }
 
   /** alphabetPattern [A-Za-zА-Яа-я0-9]{5,} as an allocation-free scan

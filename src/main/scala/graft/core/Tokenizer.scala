@@ -15,6 +15,9 @@ import scala.util.matching.Regex
   *   - `^C ` / `^R `  -> center / right alignment (header route :904-906)
   *   - `^B `          -> paragraph style-chain bold (XOR chain :914-925)
   *   - `^P `          -> page-break-before => CanBeHeader.Must (:218)
+  *   - `^D `          -> DOC (HWPF) dialect header predicate (:809-859)
+  *   - `^A3 `         -> DOC fontAlignment == 3 (header route :828-832)
+  *   - `^J1 ` / `^J2 `-> DOC justification 1 / 2 (header route :828-832)
   *   - `>>>> `        -> indentRatio 0.3 (> 0.25 threshold :67,:899)
   *   - `|a|b|`        -> table row (consecutive lines form one table);
   *                       `||` inside a cell separates cell paragraphs
@@ -102,6 +105,9 @@ object Tokenizer {
     var cbh: Option[CanBeHeader] = None
     var listRef: Option[ListRef] = None
     var isToc = false
+    var docDialect = false
+    var fontAlignment = 0
+    var justification = 0
     var changed = true
     while (changed) {
       changed = false
@@ -109,6 +115,10 @@ object Tokenizer {
       else if (rest.startsWith("^R ")) { align = Align.Right; rest = rest.drop(3); changed = true }
       else if (rest.startsWith("^B ")) { styleBold = true :: styleBold; rest = rest.drop(3); changed = true }
       else if (rest.startsWith("^P ")) { cbh = Some(CanBeHeader.Must); rest = rest.drop(3); changed = true }
+      else if (rest.startsWith("^D ")) { docDialect = true; rest = rest.drop(3); changed = true }
+      else if (rest.startsWith("^A3 ")) { fontAlignment = 3; rest = rest.drop(4); changed = true }
+      else if (rest.startsWith("^J1 ")) { justification = 1; rest = rest.drop(4); changed = true }
+      else if (rest.startsWith("^J2 ")) { justification = 2; rest = rest.drop(4); changed = true }
       else if (rest.startsWith(">>>> ")) { indent = 0.3f; rest = rest.drop(5); changed = true }
       else if (rest.length > 1 && rest.charAt(0) == '#') {
         numList.findFirstMatchIn(rest) match {
@@ -138,7 +148,9 @@ object Tokenizer {
       rest = rest.replace("[TOC]", "")
     }
     val (plainText, runs) = parseRuns(rest)
-    Element(plainText, runs, align, indent, styleBold, cbh, listRef, isToc)
+    Element(plainText, runs, align, indent, styleBold, cbh, listRef, isToc,
+      boilerplate = false, docDialect = docDialect,
+      fontAlignment = fontAlignment, justification = justification)
   }
 
   /** `**bold**` spans -> bold runs; everything else -> unset-bold runs
