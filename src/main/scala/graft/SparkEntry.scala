@@ -249,7 +249,15 @@ object SparkEntry {
           count(lit(1)).as("n_vecs"))
     }),
 
-    // ---------- non-SQL-expressible (rows-only checks) ----------
+    // ---------- LSH / kernel queries ----------
+    // q20/q24 are oracled against BRUTE-FORCE all-pairs ground truth in
+    // DuckDB (quadratic is fine at oracle scale): the LSH pipeline must
+    // reach full recall + exact precision to hash-match. q22 (simhash)
+    // and q35 (winnowing) stay rows-only: their bucket functions are not
+    // SQL-expressible and their outputs are fingerprint-dependent; both
+    // are covered by unit/property tests instead. q23 (ANN) is rows-only
+    // because the synthetic embeddings are near-random (top-10 cosine
+    // ~0.37), where probing LSH is legitimately lossy.
     "q20_minhash_neardups" -> ((s, dir) => {
       // self-dup the head of documents so near-dup pairs exist at any sf
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -350,19 +358,21 @@ object SparkEntry {
     }),
 
     "q30_doc_dates" -> ((s, dir) => {
-      // Russian date dialect over a deterministic synthetic column
+      // Russian date dialect (X1) over a date-bearing column derived
+      // deterministically from documents.doc_id — the SAME derivation in
+      // the DuckDB oracle, which re-parses it with the date regex and
+      // month-containment mapping, so the dialect itself is oracled
       val s2 = s
       import s2.implicits._
-      s.range(200).map { i =>
-        val day = (i % 28 + 1).toInt
-        val months = Seq("января", "марта", "мая", "07", "декабря")
-        val text = s"Договор №$i от $day ${months((i % 5).toInt)} ${2000 + i % 25} года"
-        (i, text)
-      }.toDF("id", "text").as[(Long, String)]
-        .map { case (id, text) =>
+      val months = Seq("января", "марта", "мая", "07", "декабря")
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val day = (id % 28 + 1).toInt
+          val text =
+            s"Договор №$id от $day ${months((id % 5).toInt)} ${2000 + id % 25} года"
           (id, graft.core.DocDates.findDate(text).map(_.toString).orNull)
         }
-        .toDF("id", "doc_date")
+        .toDF("doc_id", "doc_date")
         .filter(col("doc_date").isNotNull)
     }),
 
@@ -632,6 +642,131 @@ object SparkEntry {
              CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm,
            count(*) AS n_vecs
          FROM embeddings
-         GROUP BY label"""
+         GROUP BY label""",
+
+    // ---- near-dup ground truths: the oracle brute-forces ALL pairs and
+    // applies the exact metric, so the LSH pipeline must achieve full
+    // recall + exact precision on the test corpus to hash-match ----
+    "q20_minhash_neardups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' extra tail tokens'
+           FROM documents WHERE doc_id < 50
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM corpus) t
+           WHERE len(w) >= 3
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+
+    "q24_cosine_neardups" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+         )
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 6) >= 0.99""",
+
+    // lang-id heuristic tier re-expressed in SQL: same stopword profiles,
+    // same first-max-in-(de,en,es,fr)-order tie rule, same script prior
+    "q25_langid_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyr,
+             length(text) AS n,
+             list_filter(string_split_regex(lower(text), '[^\p{L}'']+'),
+               t -> t <> '') AS tk
+           FROM documents
+         ), hits AS (
+           SELECT doc_id, cyr, n, len(tk) AS ntok,
+             len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','eine','von','den','des','dem','sich','auch','auf'], t))) AS h_de,
+             len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are','this','have','not','you','his','from'], t))) AS h_en,
+             len(list_filter(tk, t -> list_contains(['el','la','los','las','que','por','con','una','del','para','como','más','pero','sus'], t))) AS h_es,
+             len(list_filter(tk, t -> list_contains(['le','la','les','des','est','dans','que','pour','une','qui','pas','sur','avec','par','mais'], t))) AS h_fr
+           FROM toks
+         )
+         SELECT lang_guess, count(*) AS n_docs FROM (
+           SELECT CASE
+             WHEN n = 0 THEN 'unknown'
+             WHEN cyr * 2 > n THEN 'ru'
+             WHEN ntok = 0 THEN 'unknown'
+             WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0
+               THEN (CASE WHEN cyr > 0 THEN 'ru' ELSE 'unknown' END)
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr' END AS lang_guess
+           FROM hits) g
+         GROUP BY lang_guess""",
+
+    // prose-path invariant of the extraction kernel: a single-line
+    // non-blank plain text segments into exactly one paragraph whose
+    // extracted text is the input verbatim
+    "q28_extract_documents" ->
+      """SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE 1 END AS n_paras,
+           CASE WHEN trim(text) = '' THEN 0 ELSE length(text) END
+             AS extracted_len
+         FROM documents""",
+
+    // the distributed decode pipeline must neither drop nor duplicate
+    // assets: per-modality counts and byte sums have closed forms
+    "q29_multimodal_features" ->
+      """SELECT CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS modality,
+           count(*) AS n_assets,
+           CAST(sum(256 + (id * 2654435761) % 1024) AS BIGINT) AS sum_bytes
+         FROM (SELECT range AS id FROM range(300))
+         GROUP BY 1""",
+
+    // re-parses the derived date-bearing text with the reference's date
+    // regex + month-containment mapping (DocumentParser.java:29-36,718-732)
+    "q30_doc_dates" ->
+      """WITH t AS (
+           SELECT doc_id,
+             lower('Договор №' || doc_id || ' от ' || (doc_id % 28 + 1) || ' ' ||
+               (['января','марта','мая','07','декабря'])[(doc_id % 5)::INT + 1] || ' ' ||
+               (2000 + doc_id % 25) || ' года') AS text
+           FROM documents
+         ), m AS (
+           SELECT doc_id,
+             regexp_extract(text,
+               '([1-2][0-9]|3[01]|0?[1-9]).\s*(1[0-2]|0[1-9]|января|февраля|марта|апреля|мая|июня|июля|августа|сентября|октября|ноября|декабря).\s*([1-2]\d{3})',
+               ['d', 'mo', 'y']) AS g
+           FROM t
+         )
+         SELECT doc_id,
+           strftime(make_date(g['y']::INT,
+             CASE WHEN contains(g['mo'], 'янв') THEN 1
+                  WHEN contains(g['mo'], 'фев') THEN 2
+                  WHEN contains(g['mo'], 'мар') THEN 3
+                  WHEN contains(g['mo'], 'апр') THEN 4
+                  WHEN contains(g['mo'], 'ма') THEN 5
+                  WHEN contains(g['mo'], 'июн') THEN 6
+                  WHEN contains(g['mo'], 'июл') THEN 7
+                  WHEN contains(g['mo'], 'авг') THEN 8
+                  WHEN contains(g['mo'], 'сен') THEN 9
+                  WHEN contains(g['mo'], 'окт') THEN 10
+                  WHEN contains(g['mo'], 'ноя') THEN 11
+                  WHEN contains(g['mo'], 'дек') THEN 12
+                  ELSE g['mo']::INT END,
+             g['d']::INT), '%Y-%m-%d') AS doc_date
+         FROM m WHERE g['d'] <> ''"""
   )
 }

@@ -107,14 +107,18 @@ object Multimodal {
       })
   }
 
-  /** Deterministic synthetic asset table (tests/bench; no external data). */
+  /** Deterministic synthetic asset table (tests/bench; no external data).
+    * Byte LENGTH is a closed-form function of id (SQL-reproducible, so
+    * the q29 byte-metric aggregation has a DuckDB oracle); byte CONTENT
+    * stays seeded-random.
+    */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaAsset] = {
     import spark.implicits._
     val modalities = Array("image", "audio", "video")
     spark.range(n).map { id =>
       val rnd = new scala.util.Random(seed ^ (id * 0x9e3779b97f4a7c15L))
       val modality = modalities((id % 3).toInt)
-      val len = 256 + rnd.nextInt(1024)
+      val len = (256 + (id * 2654435761L) % 1024L).toInt
       val bytes = new Array[Byte](len)
       rnd.nextBytes(bytes)
       val meta = modality match {
