@@ -51,25 +51,160 @@ object Segmenter {
   /** keyword -> DocumentType (DocumentParser.java:37-50). The reference
     * stores these in a HashMap whose iteration order only matters for
     * exact-offset ties (strict `>` at :377); we fix declaration order.
-    * Matched against lowercased text (:375,:390).
+    * The reference matches compiled regexes of the form
+    * `<literal>([^А-Яа-я]|$)` against a lowercased copy of the text
+    * (:375,:390); we evaluate the SAME grammar with allocation-free
+    * char scans over the original string (char-level lowercase compares
+    * — exact for the Cyrillic/Latin ranges involved): no toLowerCase
+    * copy, no Matcher. Parity with the original regexes is pinned by
+    * KeywordScanSpec's property test.
     */
-  /** Third column: a literal substring the regex cannot match without —
-    * probed with indexOf before paying for a Matcher (semantics
-    * unchanged; "" means always run the regex).
+  private val keywordProbes: Array[(String => Int, String)] = Array(
+    ((s: String) => keywordAt(s, "договор"), DocType.CONTRACT),
+    ((s: String) => charterAt(s), DocType.CHARTER),
+    ((s: String) => keywordAt(s, "протокол"), DocType.PROTOCOL),
+    ((s: String) => keywordAt(s, "положение"), DocType.REGULATION),
+    ((s: String) => keywordAt(s, "приказ"), DocType.ORDER),
+    ((s: String) => keywordAt(s, "план работ"), DocType.WORK_PLAN),
+    ((s: String) => supplementaryAt(s), DocType.SUPPLEMENTARY_AGREEMENT),
+    ((s: String) => keywordAt(s, "приложение"), DocType.ANNEX),
+    ((s: String) => keywordAt(s, "контракт"), DocType.CONTRACT),
+    ((s: String) => keywordAt(s, "решение"), DocType.PROTOCOL),
+    ((s: String) => keywordAt(s, "соглашение"), DocType.AGREEMENT))
+
+  // uppercase twins of the keyword literals, precomputed once: the scans
+  // compare (c == lower || c == upper) instead of mapping every char
+  // through Character.toLowerCase (which was slower than the Matchers it
+  // replaced)
+  private val upperTwin: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]
+    for (lit <- Seq("договор", "протокол", "положение", "приказ",
+        "план работ", "приложение", "контракт", "решение", "соглашение",
+        "устав", "дополнительное")) {
+      m.put(lit, lit.toUpperCase)
+    }
+    m
+  }
+
+  @inline private def chEq(c: Char, lo: Char, hi: Char): Boolean =
+    c == lo || c == hi
+
+  /** Boundary class of the keyword grammar: [А-Яа-я] (Ё/ё excluded,
+    * exactly as in the reference regexes).
     */
-  private val keyToDocType: Seq[(Regex, String, String)] = Seq(
-    ("договор([^А-Яа-я]|$)".r, DocType.CONTRACT, "договор"),
-    ("у *с *т *а *в([^А-Яа-я]|$)".r, DocType.CHARTER, "у"),
-    ("протокол([^А-Яа-я]|$)".r, DocType.PROTOCOL, "протокол"),
-    ("положение([^А-Яа-я]|$)".r, DocType.REGULATION, "положение"),
-    ("приказ([^А-Яа-я]|$)".r, DocType.ORDER, "приказ"),
-    ("план работ([^А-Яа-я]|$)".r, DocType.WORK_PLAN, "план работ"),
-    ("дополнительное\\s+соглашение([^А-Яа-я]|$)".r,
-      DocType.SUPPLEMENTARY_AGREEMENT, "дополнительное"),
-    ("приложение([^А-Яа-я]|$)".r, DocType.ANNEX, "приложение"),
-    ("контракт([^А-Яа-я]|$)".r, DocType.CONTRACT, "контракт"),
-    ("решение([^А-Яа-я]|$)".r, DocType.PROTOCOL, "решение"),
-    ("соглашение([^А-Яа-я]|$)".r, DocType.AGREEMENT, "соглашение"))
+  private def isCyrLetter(c: Char): Boolean =
+    (c >= 'А' && c <= 'Я') || (c >= 'а' && c <= 'я')
+
+  /** Java \s (the regex class used by the reference, NOT
+    * Character.isWhitespace — they differ on NBSP and LINE-SEP).
+    */
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** First index where lowercase literal `lit` occurs (case-insensitive)
+    * followed by a non-[А-Яа-я] char or end — `lit([^А-Яа-я]|$)`.
+    */
+  private[core] def keywordAt(s: String, lit: String): Int = {
+    val up = upperTwin.get(lit)
+    val n = s.length
+    val m = lit.length
+    val l0 = lit.charAt(0)
+    val u0 = up.charAt(0)
+    var i = 0
+    while (i + m <= n) {
+      val c0 = s.charAt(i)
+      if (c0 == l0 || c0 == u0) {
+        var j = 1
+        while (j < m && chEq(s.charAt(i + j), lit.charAt(j), up.charAt(j))) {
+          j += 1
+        }
+        if (j == m && (i + m >= n || !isCyrLetter(s.charAt(i + m)))) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `у *с *т *а *в([^А-Яа-я]|$)` — the spaced CHARTER keyword (spaces
+    * only, zero or more, between letters).
+    */
+  private[core] def charterAt(s: String): Int = {
+    val word = "устав"
+    val up = upperTwin.get(word)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      if (c0 == 'у' || c0 == 'У') {
+        var k = i + 1
+        var li = 1
+        var ok = true
+        while (ok && li < word.length) {
+          while (k < n && s.charAt(k) == ' ') k += 1
+          if (k < n && chEq(s.charAt(k), word.charAt(li), up.charAt(li))) {
+            k += 1
+            li += 1
+          } else ok = false
+        }
+        if (ok && (k >= n || !isCyrLetter(s.charAt(k)))) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `дополнительное\s+соглашение([^А-Яа-я]|$)`. */
+  private[core] def supplementaryAt(s: String): Int = {
+    val n = s.length
+    var from = 0
+    while (from < n) {
+      val i = keywordPrefixAt(s, "дополнительное", from)
+      if (i < 0) return -1
+      var k = i + "дополнительное".length
+      val wsStart = k
+      while (k < n && isRegexWs(s.charAt(k))) k += 1
+      if (k > wsStart) {
+        var j = 0
+        val lit = "соглашение"
+        val up = upperTwin.get(lit)
+        while (j < lit.length && k + j < n &&
+               chEq(s.charAt(k + j), lit.charAt(j), up.charAt(j))) {
+          j += 1
+        }
+        val end = k + lit.length
+        if (j == lit.length && (end >= n || !isCyrLetter(s.charAt(end)))) {
+          return i
+        }
+      }
+      from = i + 1
+    }
+    -1
+  }
+
+  /** First occurrence of `lit` at/after `from`, case-insensitive, no
+    * boundary requirement (prefix probe for the two-word keyword).
+    */
+  private def keywordPrefixAt(s: String, lit: String, from: Int): Int = {
+    val up = upperTwin.get(lit)
+    val n = s.length
+    val m = lit.length
+    val l0 = lit.charAt(0)
+    val u0 = up.charAt(0)
+    var i = from
+    while (i + m <= n) {
+      val c0 = s.charAt(i)
+      if (c0 == l0 || c0 == u0) {
+        var j = 1
+        while (j < m && chEq(s.charAt(i + j), lit.charAt(j), up.charAt(j))) {
+          j += 1
+        }
+        if (j == m) return i
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** Every doc-type keyword is Cyrillic: a text without a Cyrillic char
     * cannot match any pattern, so the classifier can skip it entirely.
@@ -87,8 +222,9 @@ object Segmenter {
 
   // --- mutable builders, scoped to one turn's fold ---
   private final class ParaBuilder {
-    var header: SegBuilder = SegBuilder.empty
-    var body: SegBuilder = SegBuilder.empty
+    // shared Empty singleton: every mutation site replaces it first
+    var header: SegBuilder = SegBuilder.Empty
+    var body: SegBuilder = SegBuilder.Empty
   }
   private final class DocBuilder {
     val paras: ArrayBuffer[ParaBuilder] = new ArrayBuffer[ParaBuilder]
@@ -98,7 +234,13 @@ object Segmenter {
   /** Fold accumulator ~ ElementResult (DocumentParser.java:1002-1023). */
   private final class State {
     val docs: ArrayBuffer[DocBuilder] = ArrayBuffer(new DocBuilder)
-    val spans: ArrayBuffer[Span] = new ArrayBuffer[Span]
+    // lazily created: only toc/boilerplate/overflow elements produce these
+    private var _spans: ArrayBuffer[Span] = _
+    def spans: ArrayBuffer[Span] = {
+      if (_spans == null) _spans = new ArrayBuffer[Span](4)
+      _spans
+    }
+    def nExtraSpans: Int = if (_spans == null) 0 else _spans.size
     var isPrevHeader = false
     var isPageBreak = false
     var currentParagraph: ParaBuilder = _
@@ -112,23 +254,35 @@ object Segmenter {
     }
   }
 
+  /** Replace-then-append helper honoring the shared Empty singleton:
+    * addText on the reference's default TextSegment(-1, "") appends with
+    * no separator, i.e. equals a fresh (-1, "") builder receiving the
+    * same appends.
+    */
+  private def appendBody(p: ParaBuilder, t: String): Unit = {
+    if (p.body eq SegBuilder.Empty) p.body = new SegBuilder(-1, "")
+    p.body.addText(t)
+  }
+
   /** Segment one turn's element stream into documents + spans. */
   def segment(elements: Iterable[BodyElement],
               version: String = graft.BuildInfo.version): MultiDoc = {
     val st = new State
     var canBeHeader: CanBeHeader = CanBeHeader.Can
-    for (element <- elements) {
-      processBodyElement(element, st, canBeHeader)
+    val elemIt = elements.iterator
+    while (elemIt.hasNext) {
+      processBodyElement(elemIt.next(), st, canBeHeader)
       canBeHeader =
         if (st.isPageBreak) CanBeHeader.Must else CanBeHeader.Can
     }
     checkDocumentStructure(st)
     for (doc <- st.docs if doc.paras.nonEmpty) findDocumentType(doc)
     postProcessDocument(st)
-    // single-copy output construction (wrapped arrays, no toSeq rebuilds)
+    // single-copy output construction (wrapped arrays, no toSeq rebuilds);
+    // the span array is counted first, then filled — no buffer growth
     val docsArr = new Array[Doc](st.docs.size)
     var di = 0
-    val segSpans = new ArrayBuffer[Span]
+    var nSpans = st.nExtraSpans
     while (di < st.docs.size) {
       val d = st.docs(di)
       val parasArr = new Array[Para](d.paras.size)
@@ -137,20 +291,43 @@ object Segmenter {
         val p = d.paras(pi)
         val para = Para(p.header.toSeg, p.body.toSeg)
         parasArr(pi) = para
-        if (para.header.offset >= 0)
-          segSpans += Span("header", para.header.offset, para.header.length)
-        if (para.body.offset >= 0)
-          segSpans += Span("body", para.body.offset, para.body.length)
+        if (para.header.offset >= 0) nSpans += 1
+        if (para.body.offset >= 0) nSpans += 1
         pi += 1
       }
       docsArr(di) = Doc(d.docType,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(parasArr))
       di += 1
     }
-    segSpans ++= st.spans
+    val spansArr = new Array[Span](nSpans)
+    var si = 0
+    di = 0
+    while (di < docsArr.length) {
+      val paras = docsArr(di).paragraphs
+      var pi = 0
+      while (pi < paras.size) {
+        val para = paras(pi)
+        if (para.header.offset >= 0) {
+          spansArr(si) = Span("header", para.header.offset, para.header.length)
+          si += 1
+        }
+        if (para.body.offset >= 0) {
+          spansArr(si) = Span("body", para.body.offset, para.body.length)
+          si += 1
+        }
+        pi += 1
+      }
+      di += 1
+    }
+    var xi = 0
+    while (xi < st.nExtraSpans) {
+      spansArr(si) = st.spans(xi)
+      si += 1
+      xi += 1
+    }
     MultiDoc(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr),
-      segSpans.toSeq, version)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(spansArr), version)
   }
 
   /** ~ processBodyElement (DocumentParser.java:404-475). */
@@ -500,7 +677,9 @@ object Segmenter {
     */
   private def checkDocumentStructure(st: State): Unit = {
     st.docs.filterInPlace(_.paras.nonEmpty) // :246-249
-    for (doc <- st.docs) {
+    var di = 0
+    while (di < st.docs.size) {
+      val doc = st.docs(di)
       // fast path: nothing to split or merge => no rebuild, no allocation
       var dirty = false
       var i = 0
@@ -528,7 +707,7 @@ object Segmenter {
           }
           if (p.header.isBlankTrim) { // :265-270
             if (!p.body.isBlankTrim && previous != null) {
-              previous.body.addText(p.body.text)
+              appendBody(previous, p.body.text)
             }
             // paragraph dropped
           } else {
@@ -539,6 +718,7 @@ object Segmenter {
         doc.paras.clear()
         doc.paras ++= kept
       }
+      di += 1
     }
   }
 
@@ -555,7 +735,7 @@ object Segmenter {
         val demote = notHeaderPattern
           .findFirstIn(p.header.text.toLowerCase).isDefined && previous != null
         if (demote) {
-          previous.body.addText(p.header.text)
+          appendBody(previous, p.header.text)
           previous.body.addText(p.body.text)
         } else {
           previous = p
@@ -580,18 +760,19 @@ object Segmenter {
         val s = seg(doc.paras(i))
         val raw = s.text
         if (hasCyrillic(raw)) { // no Cyrillic => no pattern can match
-          val lower = raw.toLowerCase
-          for ((pattern, docType, literal) <- keyToDocType) {
-            if (lower.indexOf(literal) >= 0) {
-              pattern.findFirstMatchIn(lower).foreach { m =>
-                val abs = m.start + s.offset
-                if ((firstOccurrence > abs && result != DocType.CHARTER) ||
-                    docType == DocType.CHARTER) {
-                  result = docType
-                  firstOccurrence = abs
-                }
+          var k = 0
+          while (k < keywordProbes.length) {
+            val (probe, docType) = keywordProbes(k)
+            val idx = probe(raw)
+            if (idx >= 0) {
+              val abs = idx + s.offset
+              if ((firstOccurrence > abs && result != DocType.CHARTER) ||
+                  docType == DocType.CHARTER) {
+                result = docType
+                firstOccurrence = abs
               }
             }
+            k += 1
           }
         }
         i += 1
@@ -610,23 +791,39 @@ object Segmenter {
     var cap = 0
     var nSegs = 0
     var only: String = null
-    for (d <- md.documents; p <- d.paragraphs) {
-      cap += p.header.length + p.body.length + 2
-      if (p.header.length > 0) { nSegs += 1; only = p.header.text }
-      if (p.body.length > 0) { nSegs += 1; only = p.body.text }
+    var di = 0
+    while (di < md.documents.size) {
+      val paras = md.documents(di).paragraphs
+      var pi = 0
+      while (pi < paras.size) {
+        val p = paras(pi)
+        cap += p.header.length + p.body.length + 2
+        if (p.header.length > 0) { nSegs += 1; only = p.header.text }
+        if (p.body.length > 0) { nSegs += 1; only = p.body.text }
+        pi += 1
+      }
+      di += 1
     }
     if (nSegs == 0) return ""
     if (nSegs == 1) return only
-    val sb = new java.lang.StringBuilder(cap)
-    for (d <- md.documents; p <- d.paragraphs) {
-      if (p.header.text.nonEmpty) {
-        if (sb.length > 0) sb.append(SegBuilder.LineSep)
-        sb.append(p.header.text)
+    val sb = StrScratch.join(cap)
+    di = 0
+    while (di < md.documents.size) {
+      val paras = md.documents(di).paragraphs
+      var pi = 0
+      while (pi < paras.size) {
+        val p = paras(pi)
+        if (p.header.text.nonEmpty) {
+          if (sb.length > 0) sb.append(SegBuilder.LineSep)
+          sb.append(p.header.text)
+        }
+        if (p.body.text.nonEmpty) {
+          if (sb.length > 0) sb.append(SegBuilder.LineSep)
+          sb.append(p.body.text)
+        }
+        pi += 1
       }
-      if (p.body.text.nonEmpty) {
-        if (sb.length > 0) sb.append(SegBuilder.LineSep)
-        sb.append(p.body.text)
-      }
+      di += 1
     }
     sb.toString
   }

@@ -277,14 +277,18 @@ object Dedup {
     val buckets = banded.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
     val candPairs = bucketPairs(buckets, maxBucket, statsObs)
 
-    // 4. exact verify: rejoin texts by id, recompute shingle sets
-    val shA = reps.select(col("id").as("id_a"),
-      wordShingles(col("text"), shingleK).as("_sh_a"))
-    val shB = reps.select(col("id").as("id_b"),
-      wordShingles(col("text"), shingleK).as("_sh_b"))
+    // 4. exact verify: rejoin TEXTS by id (narrow), and only then — after
+    // the join has filtered to actual candidates — expand to shingle
+    // sets: projecting shingles before the join would ship every rep's
+    // shingle array through the join shuffle (the r01 defect, moved).
+    // candPairs is small, so AQE turns these into broadcast joins.
+    val ta = reps.select(col("id").as("id_a"), col("text").as("_t_a"))
+    val tb = reps.select(col("id").as("id_b"), col("text").as("_t_b"))
     val verified = candPairs
-      .join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", round(jaccard(col("_sh_a"), col("_sh_b")), 6))
+      .join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", round(jaccard(
+        wordShingles(col("_t_a"), shingleK),
+        wordShingles(col("_t_b"), shingleK)), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 

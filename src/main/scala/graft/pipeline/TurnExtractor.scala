@@ -55,7 +55,11 @@ object TurnExtractor {
         val md = Segmenter.segment(elements)
         val extracted = Segmenter.extractedText(md)
         var nParas = 0
-        md.documents.foreach(d => nParas += d.paragraphs.size)
+        var di = 0
+        while (di < md.documents.size) {
+          nParas += md.documents(di).paragraphs.size
+          di += 1
+        }
         ExtractedTurn(convId, turnIdx, md.documents, extracted,
           md.spans, md.version, null, nParas, utf8Length(extracted))
       } catch {

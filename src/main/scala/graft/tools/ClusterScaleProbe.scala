@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** N vs 4N *executor-process* scaling probe using Spark's local-cluster
   * mode: each executor is its own JVM (own heap, own GC) — the faithful
   * sandbox model of the north rule's "N and 4N executors" criterion.
+  * Needs SPARK_SCALA_VERSION=2.13 in the env (set by build.sbt run/envVars).
+  * Bench.scala runs the same measurement as its primary pair; this probe
+  * prints every pass so JIT warm-up curves stay visible.
   */
 object ClusterScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -15,9 +18,12 @@ object ClusterScaleProbe {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val spark = SparkSession.builder()
-        .master(s"local-cluster[$execs,$coresPer,4096]")
+        .master(s"local-cluster[$execs,$coresPer,8192]")
         .config("spark.executor.extraClassPath", classes)
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions",
+          "-XX:+UseParallelGC -XX:NewRatio=1 -XX:ParallelGCThreads=" +
+            (coresPer * 2))
+        .config("spark.locality.wait", "0")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -31,10 +37,10 @@ object ClusterScaleProbe {
       val raw = spark.read.parquet(inputDir)
       time("narrow-warm")(
         graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
-      time("narrow-1")(
-        graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
-      time("narrow-2")(
-        graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+      for (i <- 1 to 8) {
+        time(s"narrow-$i")(
+          graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+      }
       spark.stop()
     }
   }
