@@ -376,6 +376,47 @@ object SparkEntry {
         .filter(col("doc_date").isNotNull)
     }),
 
+    // ---------- dead-path scalar dialects (X5/X7), oracled over
+    // doc_id-derived text like q30 ----------
+    "q36_doc_numbers" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val num = if (id % 10 == 0) "---" else s"$id-ФЗ"
+          val text = s"Приказ № $num от марта"
+          (id, graft.core.DocScalars.findDocumentNumber(text).orNull)
+        }
+        .toDF("doc_id", "doc_number")
+        .filter(col("doc_number").isNotNull)
+    }),
+
+    "q37_name_short" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cell =
+            if (id % 3 == 0) s"Общество $id (сокращенное - ООО $id)"
+            else s"Общество $id"
+          // fallback semantics of ExcelParser.java:119-121: whole cell
+          // as name when the pattern does not apply
+          graft.core.DocScalars.splitNameShort(cell) match {
+            case Some((n, sn)) => (id, n, sn)
+            case None => (id, cell, "")
+          }
+        }
+        .toDF("doc_id", "name", "short_name")
+    }),
+
+    "q38_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(round(avg(TextStats.qualityScore(col("text"))), 4)
+          .as("avg_quality"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
@@ -734,6 +775,68 @@ object SparkEntry {
            CAST(sum(256 + (id * 2654435761) % 1024) AS BIGINT) AS sum_bytes
          FROM (SELECT range AS id FROM range(300))
          GROUP BY 1""",
+
+    // X5 — document-number grammar + validation gate
+    // (DocumentParser.java:31-32,319-323) re-evaluated by the oracle
+    "q36_doc_numbers" ->
+      """WITH t AS (
+           SELECT doc_id,
+             'Приказ № ' || (CASE WHEN doc_id % 10 = 0 THEN '---'
+               ELSE doc_id || '-ФЗ' END) || ' от марта' AS text
+           FROM documents
+         ), m AS (
+           SELECT doc_id,
+             regexp_extract(text, '№[ \t]*(\S+)(\s+|$)', 1) AS num
+           FROM t
+         )
+         SELECT doc_id, num AS doc_number FROM m
+         WHERE num <> '' AND regexp_matches(num, '[A-Za-zА-Яа-я0-9]')""",
+
+    // X7 — name/shortName split with the whole-cell fallback
+    // (ExcelParser.java:32,114-121)
+    "q37_name_short" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'Общество ' || doc_id || ' (сокращенное - ООО ' || doc_id || ')'
+               ELSE 'Общество ' || doc_id END AS cell
+           FROM documents
+         )
+         SELECT doc_id,
+           CASE WHEN regexp_matches(cell,
+               '^(.*)\(\s*сокращенное\s*-?\s*(.*)\)$')
+             THEN trim(regexp_extract(cell,
+               '^(.*)\(\s*сокращенное\s*-?\s*(.*)\)$', 1))
+             ELSE cell END AS name,
+           CASE WHEN regexp_matches(cell,
+               '^(.*)\(\s*сокращенное\s*-?\s*(.*)\)$')
+             THEN trim(regexp_extract(cell,
+               '^(.*)\(\s*сокращенное\s*-?\s*(.*)\)$', 2))
+             ELSE '' END AS short_name
+         FROM t""",
+
+    "q38_quality_score" ->
+      """SELECT source,
+           round(avg(q), 4) AS avg_quality, count(*) AS n_docs
+         FROM (
+           SELECT source, round(greatest(0.0, least(1.0,
+             alpha * lenOk * (1.0 - digit * 2))), 4) AS q
+           FROM (
+             SELECT source,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[а-яА-ЯёЁ]', '', 'g'))
+                     + length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+                    / length(text) END AS alpha,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                    / length(text) END AS digit,
+               CASE WHEN (CASE WHEN NOT regexp_matches(text, '\S') THEN 0.0
+                 ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                    / len(string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END AS lenOk
+             FROM documents) f) g
+         GROUP BY source""",
 
     // re-parses the derived date-bearing text with the reference's date
     // regex + month-containment mapping (DocumentParser.java:29-36,718-732)

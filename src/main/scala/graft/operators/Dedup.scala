@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for web-scale corpora.
   *
@@ -45,12 +44,20 @@ object Dedup {
       .agg(count("*").as("n_dups"), min(idCol).as("keep_id"))
       .filter(col("n_dups") > 1)
 
-  /** Keep one representative per normalized text (min id wins). */
+  /** Keep one representative per normalized text (min id wins).
+    * Aggregate-then-join, NOT a window over the fingerprint: a window
+    * would land a mega-cluster of identical docs (boilerplate, licenses)
+    * on one task; the agg side combines map-side and the join is
+    * AQE-skew-splittable (scale rule 2 of the object scaladoc).
+    */
   def dropExactDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val fp = TextStats.fingerprint(col(textCol))
+    val keep = df.select(fp.as("_fp"), col(idCol).as("_keep"))
+      .groupBy("_fp").agg(min("_keep").as("_keep"))
+    df.withColumn("_fp", fp)
+      .join(keep, "_fp")
+      .filter(col(idCol) === col("_keep"))
+      .drop("_fp", "_keep")
   }
 
   // ---------- shared scale plumbing ----------
