@@ -250,14 +250,12 @@ object SparkEntry {
     }),
 
     // ---------- LSH / kernel queries ----------
-    // q20/q24 are oracled against BRUTE-FORCE all-pairs ground truth in
-    // DuckDB (quadratic is fine at oracle scale): the LSH pipeline must
-    // reach full recall + exact precision to hash-match. q22 (simhash)
-    // and q35 (winnowing) stay rows-only: their bucket functions are not
-    // SQL-expressible and their outputs are fingerprint-dependent; both
-    // are covered by unit/property tests instead. q23 (ANN) is rows-only
-    // because the synthetic embeddings are near-random (top-10 cosine
-    // ~0.37), where probing LSH is legitimately lossy.
+    // q20/q22/q24 are oracled against BRUTE-FORCE all-pairs ground truth
+    // in DuckDB (quadratic is fine at oracle scale): the LSH pipelines
+    // must reach full recall + exact precision to hash-match. q22's
+    // oracle recomputes the 64-bit SimHash itself in SQL (FNV-1a + mix
+    // via HUGEINT limb arithmetic). q23 (ANN) plants true neighbors so
+    // probing recall is guaranteed and brute-force top-k is the oracle.
     "q20_minhash_neardups" -> ((s, dir) => {
       // self-dup the head of documents so near-dup pairs exist at any sf
       val d = t(s, dir, "documents").select("doc_id", "text")
@@ -277,12 +275,21 @@ object SparkEntry {
     }),
 
     "q23_ann_lsh" -> ((s, dir) => {
+      // ANN is for corpora that HAVE near neighbors: plant 15 copies of
+      // the query vector (the rest of the synthetic corpus is near-random
+      // noise, top cosine ~0.37). Identical vectors share every sign
+      // pattern, so probing LSH recall on them is GUARANTEED — the true
+      // top-10 is brute-force SQL-derivable and this becomes a two-sided
+      // oracle of bucketing + probing + ranking.
       val emb = t(s, dir, "embeddings")
-      val qvec = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      val qvec = q0.select(col("embedding").cast("array<double>"))
         .first().getSeq[Double](0)
-      Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
-        "embedding", "vec_id", qvec, 10)
+      val copies = s.range(1, 16).crossJoin(q0)
+        .select((col("id") + 2000000).as("vec_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+        .select("vec_id", "embedding").unionByName(copies)
+      Similarity.annTopK(corpus, "embedding", "vec_id", qvec, 10)
     }),
 
     "q24_cosine_neardups" -> ((s, dir) => {
@@ -775,6 +782,151 @@ object SparkEntry {
            CAST(sum(256 + (id * 2654435761) % 1024) AS BIGINT) AS sum_bytes
          FROM (SELECT range AS id FROM range(300))
          GROUP BY 1""",
+
+    // SimHash ground truth computed INSIDE DuckDB: FNV-1a over UTF-16
+    // units + the 64-bit avalanche mix re-expressed with 32-bit-limb
+    // xor and mulmod-2^64 HUGEINT arithmetic, per-bit votes, then
+    // brute-force all-pairs hamming <= 3. The operator's chunk-pair
+    // recall guarantee means its output must equal this exactly.
+    "q22_simhash_neardups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id < 50
+         ), toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+           FROM corpus
+         ), fnv AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(string_split(tok, ''), c -> CAST(ord(c) AS HUGEINT))),
+               (acc, c) -> ((acc - acc % 2097152 +
+                   CAST(xor(CAST(acc % 2097152 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                 * 1099511628211) % 18446744073709551616
+             ) AS h0
+           FROM toks
+         ), mix1 AS (
+           SELECT doc_id,
+             (CAST(xor(CAST(h0 // 4294967296 AS BIGINT),
+                       CAST((h0 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT)
+                * 4294967296 +
+              CAST(xor(CAST(h0 % 4294967296 AS BIGINT),
+                       CAST((h0 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS m1
+           FROM fnv
+         ), mix2 AS (
+           SELECT doc_id,
+             ( (m1 % 4294967296) * 18397679294719823053 % 18446744073709551616
+               + (((m1 // 4294967296) * (18397679294719823053 % 4294967296)) % 4294967296) * 4294967296
+             ) % 18446744073709551616 AS m2
+           FROM mix1
+         ), mixed AS (
+           SELECT doc_id,
+             (CAST(xor(CAST(m2 // 4294967296 AS BIGINT),
+                       CAST((m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT)
+                * 4294967296 +
+              CAST(xor(CAST(m2 % 4294967296 AS BIGINT),
+                       CAST((m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h
+           FROM mix2
+         ), votes AS (
+           SELECT doc_id, b.range AS b,
+             sum(CASE WHEN (h // (CAST(1 AS HUGEINT) << CAST(b.range AS INT))) % 2 = 1
+                 THEN 1 ELSE -1 END) AS v
+           FROM mixed CROSS JOIN range(64) b
+           GROUP BY doc_id, b.range
+         ), sigs AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                 CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                      ELSE CAST(1 AS HUGEINT) << CAST(b AS INT) END
+               ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sig
+           FROM votes GROUP BY doc_id
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+
+    // brute-force ground truth over the corpus with planted neighbors:
+    // the probing-LSH top-k must equal it exactly (see the query comment)
+    "q23_ann_lsh" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+           UNION ALL
+           SELECT 2000000 + range + 1 AS vec_id,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) AS embedding
+           FROM range(15)
+         )
+         SELECT c.vec_id, round(list_cosine_similarity(
+             CAST(c.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 6) AS cos
+         FROM corpus c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         ORDER BY cos DESC, c.vec_id
+         LIMIT 10""",
+
+    // Winnowing (SIGMOD'03) ground truth computed INSIDE DuckDB: the
+    // Rabin 24-gram hash + avalanche mix via HUGEINT limb arithmetic;
+    // the positional emission rule collapses under set semantics (the
+    // fingerprint SET equals the distinct window minima, SIGNED compare
+    // like Scala Long), so selection is a window-frame min + DISTINCT;
+    // then brute-force pairs sharing >= 8 fingerprints.
+    "q35_winnowing_neardups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'prefix words then ' || text
+           FROM documents WHERE doc_id < 50
+         ), chars AS (
+           SELECT doc_id,
+             list_transform(string_split(lower(text), ''),
+               c -> CAST(ord(c) AS HUGEINT)) AS cs
+           FROM corpus
+         ), posh AS (
+           SELECT doc_id, len(cs) - 23 AS nh, p AS pos,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), cs[p : p + 23]),
+               (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616) AS h0
+           FROM chars, unnest(range(1, greatest(len(cs) - 23, 0) + 1)) AS t(p)
+         ), mix2 AS (
+           SELECT doc_id, nh, pos,
+             ( (m1 % 4294967296) * 18397679294719823053 % 18446744073709551616
+               + (((m1 // 4294967296) * (18397679294719823053 % 4294967296)) % 4294967296) * 4294967296
+             ) % 18446744073709551616 AS m2
+           FROM (
+             SELECT doc_id, nh, pos,
+               (CAST(xor(CAST(h0 // 4294967296 AS BIGINT),
+                         CAST((h0 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT)
+                  * 4294967296 +
+                CAST(xor(CAST(h0 % 4294967296 AS BIGINT),
+                         CAST((h0 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS m1
+             FROM posh) q
+         ), mixed AS (
+           SELECT doc_id, nh, pos,
+             CAST(hu - CASE WHEN hu >= 9223372036854775808
+                 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+               AS BIGINT) AS h
+           FROM (
+             SELECT doc_id, nh, pos,
+               (CAST(xor(CAST(m2 // 4294967296 AS BIGINT),
+                         CAST((m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT)
+                  * 4294967296 +
+                CAST(xor(CAST(m2 % 4294967296 AS BIGINT),
+                         CAST((m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS hu
+             FROM mix2) r
+         ), wmins AS (
+           SELECT doc_id, pos, nh,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING) AS wmin
+           FROM mixed
+         ), fps AS (
+           SELECT DISTINCT doc_id, wmin AS fp
+           FROM wmins WHERE pos <= greatest(nh - 31, 1)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING count(*) >= 8""",
 
     // X5 — document-number grammar + validation gate
     // (DocumentParser.java:31-32,319-323) re-evaluated by the oracle

@@ -59,6 +59,22 @@ object StreamExtract {
       }
   }
 
+  /** Streaming exact dedup: drop turns whose normalized-text fingerprint
+    * was already seen within the watermark horizon — the streaming analog
+    * of [[graft.operators.Dedup.dropExactDups]]. State is BOUNDED by the
+    * event-time watermark (dropDuplicatesWithinWatermark evicts expired
+    * fingerprints), which is what makes this runnable forever on a
+    * transcript firehose; an unbounded dropDuplicates would grow state
+    * with corpus size.
+    */
+  def dedupStream(turns: DataFrame,
+                  watermark: String = "10 minutes"): DataFrame =
+    turns
+      .withColumn("_fp", graft.operators.TextStats.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Convenience: run the streaming extraction over a parquet directory
     * source into an in-memory sink (test/smoke path) or parquet sink.
     */

@@ -44,6 +44,31 @@ class StreamExtractSpec extends AnyFunSuite {
       Seq("window", "role", "n_turns", "n_chars"))
   }
 
+  test("streaming dedup drops exact duplicates within the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dedup").toString
+    def ts(min: Int) = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    Seq(
+      graft.pipeline.Turn("c1", 0, "user", "hello world", null, ts(0)),
+      graft.pipeline.Turn("c1", 1, "user", "HELLO   world", null, ts(1)),
+      graft.pipeline.Turn("c2", 0, "user", "hello world", null, ts(2)),
+      graft.pipeline.Turn("c2", 1, "user", "different text", null, ts(3)))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamExtract.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("dedup_out")
+      .collect().map(_.getAs[String]("text")).sorted
+    // "hello world" / "HELLO   world" / "hello world" share one
+    // normalized fingerprint: exactly one survivor + the distinct text
+    assert(texts.length == 2)
+    assert(texts.contains("different text"))
+  }
+
   test("stateful conversation progress accumulates per conv") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-state").toString
