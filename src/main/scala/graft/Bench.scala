@@ -88,6 +88,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
 
     // --- deterministic bench input (generated once, reused) ---
     val nConvs =
@@ -131,10 +133,13 @@ object Bench {
       // the strict full-box pair gets the extra session (it is the
       // judged number); both sizes within a pair always get the same count
       val rounds = if (n4 == cpus) 3 else 2
-      val alternations = (1 to rounds).map { _ =>
-        val tpN = measureOnce(n)
-        val tpN4 = measureOnce(n4)
-        (tpN, tpN4)
+      val alternations = (1 to rounds).flatMap { i =>
+        if (i > 1 && elapsedSec > 220) None // deadline guard
+        else {
+          val tpN = measureOnce(n)
+          val tpN4 = measureOnce(n4)
+          Some((tpN, tpN4))
+        }
       }
       val bestN = alternations.map(_._1).max
       val best4N = alternations.map(_._2).max
@@ -170,10 +175,15 @@ object Bench {
       if (cpus < 32) None
       else {
         try {
-          val rounds = (1 to 3).map { _ =>
-            val tpN = measureCluster(2, 4)
-            val tp4N = measureCluster(8, 4)
-            (tpN, tp4N)
+          // deadline guard: the driver kills the bench at ~590s; always
+          // complete at least one round, add more only while time allows
+          val rounds = (1 to 3).flatMap { i =>
+            if (i > 1 && elapsedSec > 330) None
+            else {
+              val tpN = measureCluster(2, 4)
+              val tp4N = measureCluster(8, 4)
+              Some((tpN, tp4N))
+            }
           }
           // steady-state estimator: best per size across the interleaved
           // rounds (standard for JIT'd benchmarks; robust to one sick

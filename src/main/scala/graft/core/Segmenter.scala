@@ -379,7 +379,12 @@ object Segmenter {
         // tokenizer-set gate (page-break markup) wins over the caller's
         val gate = el.canBeHeader.getOrElse(canBeHeader)
         processParagraph(el, st, gate)
-        st.globalOffset += el.text.length // :472 (prefix not counted)
+        // DOCX: globalOffset advances by the paragraph text length (:472,
+        // prefix not counted). DOC: offsets are POI char offsets
+        // (paragraph.getStartOffset, :188/:201) — every HWPF paragraph
+        // range ends with a \r that :117-118 strips from the text but
+        // POI counts, so the DOC dialect advances by length + 1.
+        st.globalOffset += el.text.length + (if (el.docDialect) 1 else 0)
     }
   }
 

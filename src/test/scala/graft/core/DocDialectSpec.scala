@@ -81,6 +81,23 @@ class DocDialectSpec extends AnyFunSuite {
     assert(mdDocx.documents.head.paragraphs.size == 1)
   }
 
+  test("gd09 DOC dialect offsets count the stripped paragraph mark") {
+    // POI char offsets (DocumentParser.java:188,201) include the \r each
+    // HWPF paragraph ends with; the DOCX running offset (:472) does not
+    val md = Segmenter.segment(Tokenizer.tokenize(
+      "^D FIRST HEADER\n^D body text here\n^D ^J1 header two"))
+    val paras = md.documents.head.paragraphs
+    assert(paras(0).header.offset == 0)
+    assert(paras(0).body.offset == "FIRST HEADER".length + 1)
+    assert(paras(1).header.offset ==
+      "FIRST HEADER".length + 1 + "body text here".length + 1)
+    // DOCX elements in the same stream advance without the +1
+    val mixed = Segmenter.segment(Tokenizer.tokenize(
+      "FIRST HEADER\nsome body line\n^D ^J1 second"))
+    assert(mixed.documents.head.paragraphs(1).header.offset ==
+      "FIRST HEADER".length + "some body line".length)
+  }
+
   test("gd07 maxBodyLength guard bounds body accumulation") {
     val chunk = "x" * 30000
     val elems = ParaElement(Element("HEADER", Seq(Run("HEADER")))) +:

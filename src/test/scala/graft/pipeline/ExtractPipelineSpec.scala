@@ -109,6 +109,11 @@ class ExtractPipelineSpec extends AnyFunSuite {
     val manifest = ExtractPipeline.readManifest(spark, clean).collect()
     assert(manifest.map(_.getAs[Int]("bucket")).toSet == Set(0, 1, 2, 3))
     assert(manifest.map(_.getAs[Long]("rows")).sum == snap(clean).size)
+    // bytes metric = extracted-payload byte sum, collected by the write
+    // job's observe() (no per-bucket read-back jobs)
+    assert(manifest.map(_.getAs[Long]("bytes")).sum ==
+      ExtractPipeline.readCommitted(spark, clean)
+        .agg(org.apache.spark.sql.functions.sum("nBytes")).head.getLong(0))
     assert(manifest.forall(_.getAs[String]("inputFingerprint") == "seed=42/n=30"))
   }
 
