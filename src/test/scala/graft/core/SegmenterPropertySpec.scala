@@ -8,6 +8,41 @@ import scala.util.Random
   */
 class SegmenterPropertySpec extends AnyFunSuite {
 
+  test("SegBuilder chunk-list build == naive StringBuilder reference") {
+    // safety net for the allocation rework: random addText sequences
+    // must reproduce the reference separator-join rule exactly
+    // (TextSegment.java:27-34), including mid-accumulation length /
+    // blank reads and the lone-separator quirk on empty appends
+    val rnd = new Random(0xBEEF)
+    val pieces = Seq("", "a", "b\n", "\n", "  ", "тело", "x\ny", "\n\n", "zz ")
+    for (_ <- 1 to 2000) {
+      val init = pieces(rnd.nextInt(pieces.length))
+      val sb = new SegBuilder(0, init)
+      val ref = new StringBuilder(init)
+      def refAdd(t: String): Unit = {
+        if (ref.nonEmpty && !(ref.length >= 1 && ref.endsWith("\n"))) {
+          ref ++= "\n"
+        }
+        ref ++= t
+      }
+      for (_ <- 0 until rnd.nextInt(6)) {
+        val t = pieces(rnd.nextInt(pieces.length))
+        sb.addText(t)
+        refAdd(t)
+        // interleaved reads must not disturb the accumulation — incl.
+        // a full text build mid-sequence (the post-passes read .text of
+        // a builder that may receive further appends)
+        assert(sb.length == ref.length)
+        assert(sb.isBlankTrim == ref.toString.trim.isEmpty)
+        if (rnd.nextBoolean()) assert(sb.text == ref.toString)
+      }
+      assert(sb.text == ref.toString)
+      assert(sb.length == ref.length)
+      val seg = sb.toSeg
+      assert(seg.text == ref.toString && seg.length == ref.length)
+    }
+  }
+
   private val ruWords = Vector("договор", "приложение", "протокол", "устав",
     "решение", "тело", "текст", "пункт", "раздел", "соглашение", "сторона")
   private val enWords = Vector("hello", "world", "clause", "section", "body",
