@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // throughput GC: the extraction kernel is allocation-heavy across all
-  // executor threads; ParallelGC beats G1 for this batch profile
+  // executor threads; ParallelGC beats G1 for this batch profile, and a
+  // large young gen (NewRatio=1) halves minor-GC copy traffic (the
+  // kernel's allocations die young — measured on the executor JVMs)
   s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+  s"-XX:NewRatio=${sys.env.getOrElse("SPARK_GRAFT_NEWRATIO", "1")}",
 )
