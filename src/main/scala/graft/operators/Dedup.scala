@@ -62,15 +62,26 @@ object Dedup {
 
   // ---------- shared scale plumbing ----------
 
-  /** (id, rep) mapping with rep = min(id) per exact-group key. Groups
+  /** Exact-collapse with the representative's payload carried THROUGH
+    * the aggregation (min_by): one shuffle yields both the (id, rep)
+    * membership mapping and the representative rows — no extra join to
+    * recover payloads (map-side combine keeps one payload per key per
+    * partition, so the wide column does not amplify the shuffle). Groups
     * stay as ROWS (no collect_list), so a 10^9-member cluster is 10^9
     * narrow rows, never one driver-sized row; the group-key join is
     * AQE-skew-splittable because the aggregated side has one row per key.
+    * Input columns: (id, gk, payload). Returns (mapping, reps).
     */
-  private[operators] def repMapping(keyed: DataFrame): DataFrame =
-    keyed.groupBy("gk").agg(min("id").as("rep"))
-      .join(keyed, "gk")
+  private[operators] def collapse(keyed: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val agg = keyed.groupBy("gk").agg(min("id").as("rep"),
+      min_by(col("payload"), col("id")).as("payload"))
+    val mapping = agg.select("gk", "rep")
+      .join(keyed.select("id", "gk"), "gk")
       .select("id", "rep")
+    val reps = agg.select(col("rep").as("id"), col("payload"))
+    (mapping, reps)
+  }
 
   /** Candidate pairs from id-only buckets, with the deterministic cap of
     * scale rule 4 (ids sorted, first `maxBucket` kept) and optional
@@ -115,14 +126,21 @@ object Dedup {
 
   /** Internal pairs of each exact group restricted to eligible reps
     * (single-column `rep` DataFrame): (id_a < id_b) member pairs.
+    * Built from NON-representative members only — singleton groups (the
+    * overwhelming majority of a deduplicated corpus) never enter the
+    * self-join; rep-member pairs come straight off the dup rows since
+    * rep = min(id) < member id.
     */
   private[operators] def expandInternal(mapping: DataFrame,
       eligibleReps: DataFrame): DataFrame = {
-    val members = mapping.join(eligibleReps, Seq("rep"), "left_semi")
-    members.select(col("rep"), col("id").as("id_a"))
-      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+    val dups = mapping.filter(col("id") =!= col("rep"))
+      .join(eligibleReps, Seq("rep"), "left_semi")
+    val repPairs = dups.select(col("rep").as("id_a"), col("id").as("id_b"))
+    val dupPairs = dups.select(col("rep"), col("id").as("id_a"))
+      .join(dups.select(col("rep"), col("id").as("id_b")), "rep")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    repPairs.unionByName(dupPairs)
   }
 
   // ---------- shingles / jaccard ----------
@@ -262,11 +280,12 @@ object Dedup {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
 
-    // 1. exact-dup collapse (128-bit key: no false merges)
-    val mapping = repMapping(
-      base.select(col("id"), md5(TextStats.normalize(col("text"))).as("gk")))
-    val reps = base.join(mapping, "id")
-      .filter(col("id") === col("rep")).select("id", "text")
+    // 1. exact-dup collapse (128-bit key: no false merges); the text
+    // payload rides the collapse agg, so reps need no recovery join
+    val (mapping, reps0) = collapse(
+      base.select(col("id"), md5(TextStats.normalize(col("text"))).as("gk"),
+        col("text").as("payload")))
+    val reps = reps0.withColumnRenamed("payload", "text")
 
     // 2. banding: (id, bandKey) rows ONLY through the shuffle
     val banded = reps.as[(Long, String)]
@@ -394,10 +413,12 @@ object Dedup {
       }
       .toDF("id", "sig")
 
-    // exact collapse on the full signature (hamming 0 — exact semantics)
-    val mapping = repMapping(sigs.select(col("id"), col("sig").as("gk")))
-    val reps = sigs.join(mapping, "id")
-      .filter(col("id") === col("rep")).select("id", "sig")
+    // exact collapse on the full signature (hamming 0 — exact semantics;
+    // the group key IS the payload, so reps fall out of the agg directly)
+    val sigKeyed = sigs.select(col("id"), col("sig").as("gk"))
+    val sigAgg = sigKeyed.groupBy("gk").agg(min("id").as("rep"))
+    val mapping = sigAgg.join(sigKeyed, "gk").select("id", "rep")
+    val reps = sigAgg.select(col("rep").as("id"), col("gk").as("sig"))
 
     // (id, tableKey) rows only through the shuffle
     val keyed = reps.as[(Long, Long)]

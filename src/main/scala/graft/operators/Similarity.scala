@@ -106,11 +106,12 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).first().getInt(0)
 
-    // exact collapse on identical vectors (128-bit key: no false merges)
-    val mapping = Dedup.repMapping(
-      base.select(col("id"), md5(to_json(col("v"))).as("gk")))
-    val reps = base.join(mapping, "id")
-      .filter(col("id") === col("rep")).select("id", "v")
+    // exact collapse on identical vectors (128-bit key: no false merges);
+    // the vector payload rides the collapse agg — no recovery join
+    val (mapping, reps0) = Dedup.collapse(
+      base.select(col("id"), md5(to_json(col("v"))).as("gk"),
+        col("v").as("payload")))
+    val reps = reps0.withColumnRenamed("payload", "v")
 
     // (id, tableKey) rows only through the shuffle
     val keyCols = (0 until tables).map { t =>

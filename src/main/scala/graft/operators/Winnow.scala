@@ -92,11 +92,12 @@ object Winnow {
     val base = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text"))
 
-    // exact collapse (fingerprints depend on lowercased text only)
-    val mapping = Dedup.repMapping(
-      base.select(col("id"), md5(lower(col("text"))).as("gk")))
-    val reps = base.join(mapping, "id")
-      .filter(col("id") === col("rep")).select("id", "text")
+    // exact collapse (fingerprints depend on lowercased text only); the
+    // text payload rides the collapse agg — no recovery join
+    val (mapping, reps0) = Dedup.collapse(
+      base.select(col("id"), md5(lower(col("text"))).as("gk"),
+        col("text").as("payload")))
+    val reps = reps0.withColumnRenamed("payload", "text")
 
     // (id, fp, nfp) rows; nfp rides along for the internal-pair score
     val fps = reps.as[(Long, String)]
