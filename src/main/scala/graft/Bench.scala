@@ -237,13 +237,12 @@ object Bench {
     md ++= "Protocol: one discarded warm pass over all sizes (global JIT);\n"
     md ++= "then per pair, interleaved (N, 4N) sessions with a per-session\n"
     md ++= "warmup run. This host is a shared VM with external load spikes\n"
-    md ++= "(load average 10-25 with the bench idle), so two estimators are\n"
-    md ++= "reported, each applied identically to both sizes of a pair:\n"
-    md ++= "per-size throughput = best across sessions (contention is\n"
-    md ++= "strictly subtractive); pair efficiency = MEDIAN of ratios taken\n"
-    md ++= "from adjacent sessions of one alternation (load cancels within\n"
-    md ++= "an alternation — splicing bests from different noise windows\n"
-    md ++= "can skew a ratio either way). Cluster sessions (separate\n"
+    md ++= "(load average 10-25 with the bench idle), so per-size throughput\n"
+    md ++= "= best across sessions (contention is strictly subtractive), and\n"
+    md ++= "pair efficiency is reported BOTH as best/best (headline; see the\n"
+    md ++= "bias note below) and as the median of ratios from adjacent\n"
+    md ++= "sessions of one alternation. Every estimator is applied\n"
+    md ++= "identically to both sizes of a pair. Cluster sessions (separate\n"
     md ++= "executor JVMs) are JIT-cold on start, so each runs the job to a\n"
     md ++= "plateau (~25s of timed passes after a discarded cold pass) and\n"
     md ++= "keeps the best pass. Scaling numbers are meaningful at sf0.1\n"
