@@ -413,7 +413,13 @@ object Segmenter {
         (st.docs.size == 1 && doc.paras.isEmpty) || // :501
         canBeHeader == CanBeHeader.Must ||
         (canBeHeader != CanBeHeader.CanNot && isHeader(el))
-      val prefixed = if (prefix.isEmpty) el.text else prefix + el.text
+      // DOC :179 concats `prefix + " " + text` UNCONDITIONALLY — an empty
+      // prefix still contributes the leading space to every non-list DOC
+      // paragraph; DOCX :504 prepends only a non-empty prefix (numberPrefix
+      // carries the :642 trailing space, so the dialects agree on list items)
+      val prefixed =
+        if (prefix.isEmpty) { if (el.docDialect) " " + el.text else el.text }
+        else prefix + el.text
       if (isHdr) { // :503-514
         if (st.isPrevHeader) {
           st.currentParagraph.header.addText(prefixed)

@@ -108,6 +108,10 @@ object Dedup {
            transform(slice(_capped, i + 2, size(_capped)), b ->
              struct(a as id_a, b as id_b))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+      // guard against a caller-produced bucket holding one id twice (e.g.
+      // two band keys of a doc colliding to one 64-bit bkey): a self-pair
+      // would survive every verify at similarity 1.0
+      .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -118,7 +118,9 @@ object Multimodal {
     spark.range(n).map { id =>
       val rnd = new scala.util.Random(seed ^ (id * 0x9e3779b97f4a7c15L))
       val modality = modalities((id % 3).toInt)
-      val len = (256 + (id * 2654435761L) % 1024L).toInt
+      // floorMod: the product overflows Long past id ~3.47e9, where a
+      // sign-following % would yield a negative length (ADVICE r02)
+      val len = (256 + Math.floorMod(id * 2654435761L, 1024L)).toInt
       val bytes = new Array[Byte](len)
       rnd.nextBytes(bytes)
       val meta = modality match {

@@ -129,6 +129,10 @@ object ExtractPipeline {
       // loop, which was a driver bottleneck at 10^5+ buckets. `bytes` is
       // the extracted-payload byte count (sum of nBytes) — stable across
       // file compression, which is the lineage-relevant quantity.
+      // BEST-EFFORT caveat (ADVICE r02): observe metrics are accumulator
+      // semantics — a stage re-execution (fetch-failure retry, speculative
+      // task) can double-apply, overstating counts vs what was committed.
+      // Validate rows against a footer count when retries were detected.
       val obs = org.apache.spark.sql.Observation(
         s"commit-metrics-${batch.head}")
       val metricExprs = batch.flatMap { b =>

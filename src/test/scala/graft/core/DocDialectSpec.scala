@@ -74,11 +74,31 @@ class DocDialectSpec extends AnyFunSuite {
     val md = Segmenter.segment(Tokenizer.tokenize(
       "FIRST HEADER\nbody text line one\n^D ^J1 second header lowercase\nmore body"))
     val paras = md.documents.head.paragraphs
+    // DOC :179 prepends `prefix + " "` unconditionally, so non-list DOC
+    // paragraphs carry a leading space (DOCX paragraphs do not)
     assert(paras.map(_.header.text) == Seq("FIRST HEADER",
-      "second header lowercase"))
+      " second header lowercase"))
     val mdDocx = Segmenter.segment(Tokenizer.tokenize(
       "FIRST HEADER\nbody text line one\nsecond header lowercase\nmore body"))
     assert(mdDocx.documents.head.paragraphs.size == 1)
+  }
+
+  test("gd10 DOC :179 unconditional prefix space; DOCX :504 conditional") {
+    // empty list prefix: DOC paragraphs still get " " + text
+    val md = Segmenter.segment(Tokenizer.tokenize(
+      "^D FIRST HEADER\n^D body text here"))
+    val p = md.documents.head.paragraphs.head
+    assert(p.header.text == " FIRST HEADER")
+    assert(p.body.text == " body text here")
+    // list items: numberPrefix already carries the :642 trailing space,
+    // so both dialects agree — exactly one space between prefix and text
+    val listed = Segmenter.segment(Tokenizer.tokenize(
+      "^D LIST HEADER\n^D #N(7,0) пункт один"))
+    assert(listed.documents.head.paragraphs.head.body.text == "1. пункт один")
+    // DOCX: empty prefix prepends nothing
+    val docx = Segmenter.segment(Tokenizer.tokenize(
+      "FIRST HEADER\nbody text here"))
+    assert(docx.documents.head.paragraphs.head.body.text == "body text here")
   }
 
   test("gd09 DOC dialect offsets count the stripped paragraph mark") {
