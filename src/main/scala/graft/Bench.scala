@@ -59,12 +59,17 @@ object Bench {
       .appName(s"graft-bench-cluster-$execs")
       .config("spark.executor.extraClassPath",
         "/root/repo/target/scala-2.13/classes")
+      .config("spark.executor.memory", "4g")
       // throughput GC with a large young gen: the kernel's allocations
       // die young; ergonomic young-gen defaults caused 2x the minor-GC
-      // copy traffic (measured +10% throughput from NewRatio=1)
+      // copy traffic (measured +10% throughput from NewRatio=1).
+      // GC threads = executor cores (not the 2x default): 8 executors x
+      // 8 GC threads put 64 runnable GC threads on 32 cores exactly on
+      // the 4N side of the pair — cross-executor GC contention the 2x4
+      // side never saw (r03 probe: +0.05 pair efficiency)
       .config("spark.executor.extraJavaOptions",
         "-XX:+UseParallelGC -XX:NewRatio=1 -XX:ParallelGCThreads=" +
-          (coresPer * 2))
+          coresPer)
       .config("spark.locality.wait", "0")
       .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -75,12 +80,35 @@ object Bench {
     s
   }
 
-  /** The job under test: narrow scan -> mapPartitions(kernel) -> count.
-    * Zero-shuffle: per-turn extraction is stateless, so the heavy stage
-    * runs on source splits (size-balanced by parquet maxPartitionBytes);
-    * no shuffle key exists to skew (SURVEY.md §4.2).
+  /** The job under test: parquet scan -> extract_stats(text) (the FULL
+    * kernel — tokenize, segment, metric fold — as a codegen'd Catalyst
+    * expression, graft.functions.ExtractStats) -> global count + byte
+    * sum. Zero-shuffle heavy stage: per-turn extraction is stateless, so
+    * it runs on source splits (size-balanced by parquet
+    * maxPartitionBytes); no shuffle key exists to skew (SURVEY.md §4.2).
+    *
+    * r02 measured ~30% of wall in the typed-Dataset serde boundary
+    * (TurnLite decode + nested ExtractedTurn encode) — pure allocation
+    * traffic that contends hardest at the 4N size. This is the
+    * VERDICT r02 #1 "primitive-column kernel path": same kernel work per
+    * turn, no object serde, no output strings. The payload-producing
+    * path (extractNarrow) is measured alongside at full parallelism and
+    * reported as `turns_per_sec_payload_32`.
     */
-  private def runExtraction(spark: SparkSession, inputDir: String): Long =
+  private def runExtraction(spark: SparkSession, inputDir: String): Long = {
+    import org.apache.spark.sql.functions._
+    val r = spark.read.parquet(inputDir)
+      .select(graft.functions.ExtractStats.extractStats(col("text")).as("s"))
+      .agg(count(lit(1)), sum("s.n_bytes"))
+      .collect().head
+    r.getLong(0)
+  }
+
+  /** The payload-materializing variant (typed ExtractedTurn rows through
+    * the serde boundary) — the job a writer pipeline runs; reported as a
+    * secondary number at full parallelism.
+    */
+  private def runExtractionPayload(spark: SparkSession, inputDir: String): Long =
     graft.pipeline.ExtractPipeline
       .extractNarrow(spark.read.parquet(inputDir))
       .count()
@@ -216,6 +244,15 @@ object Bench {
 
     // --- per-query timings at full parallelism ---
     val spark = session(cpus)
+    // secondary extraction number: the payload-materializing typed path
+    // at local[cpus] (warm pass + timed pass) — the serde delta vs the
+    // stats job is visible as stats/payload
+    val tpPayload = {
+      runExtractionPayload(spark, inputDir)
+      val t0 = System.nanoTime()
+      val n = runExtractionPayload(spark, inputDir)
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -231,9 +268,13 @@ object Bench {
     md ++= s"Input: deterministic transcript table (seed=42, zipf conversation\n"
     md ++= s"lengths), $nConvs conversations = $turnsTotal turns, parquet at\n"
     md ++= s"`$inputDir`.\n"
-    md ++= "Job: narrow parquet scan (conv_id, turn_idx, text — pruned at the\n"
-    md ++= "scan) -> mapPartitions(extraction kernel) -> count. Zero-shuffle:\n"
-    md ++= "per-turn extraction is stateless; source splits are size-balanced.\n\n"
+    md ++= "Job: parquet scan (text pruned at the scan) -> extract_stats(text)\n"
+    md ++= "— the FULL kernel (tokenize, segment, metric fold) as a codegen'd\n"
+    md ++= "Catalyst expression — -> global count + byte sum. Zero-shuffle:\n"
+    md ++= "per-turn extraction is stateless; source splits are size-balanced.\n"
+    md ++= "r02 benched the typed-serde path (TurnLite decode + ExtractedTurn\n"
+    md ++= "encode around the same kernel); that path is still reported below\n"
+    md ++= "as the payload-materializing secondary number.\n\n"
     md ++= "Protocol: one discarded warm pass over all sizes (global JIT);\n"
     md ++= "then per pair, interleaved (N, 4N) sessions with a per-session\n"
     md ++= "warmup run. This host is a shared VM with external load spikes\n"
@@ -294,6 +335,15 @@ build scratch, matcher-free keyword scans — see git history), which is
 what moves this pair. The executor-process pair above is primary because
 separate JVMs are what a real N -> 4N cluster runs.
 """
+    md ++= f"""
+## Payload-path secondary number
+
+extractNarrow (typed ExtractedTurn rows through the object-serde
+boundary) at local[$cpus]: $tpPayload%.0f turns/sec — the pipeline a
+writer runs. The stats-job headline above it quantifies what the serde
+boundary costs; the write path keeps it because it must materialize the
+extracted payload anyway.
+"""
     md ++= s"\n## Per-query wall clock (local[$cpus], $sfDir)\n\n"
     md ++= "| query | sec |\n|---|---|\n"
     for ((k, v) <- results) md ++= f"| $k | $v%.3f |\n"
@@ -322,6 +372,7 @@ separate JVMs are what a real N -> 4N cluster runs.
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","extraction":{"turns":$turnsTotal,""" +
       s""""turns_per_sec_n":$pn,"turns_per_sec_4n":$p4n,""" +
+      s""""turns_per_sec_payload_32":$tpPayload,""" +
       s""""primary_pair":"$pmode","scaling_efficiency":$peff,""" +
       s""""local_strict_8_32":${strict._5},""" +
       s""""pairs":${effJson.mkString("[", ",", "]")}}}""")

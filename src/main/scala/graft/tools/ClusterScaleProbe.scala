@@ -20,9 +20,14 @@ object ClusterScaleProbe {
       val spark = SparkSession.builder()
         .master(s"local-cluster[$execs,$coresPer,8192]")
         .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory", "4g")
+        // GC threads = executor cores: the old coresPer*2 default put
+        // 8 GC threads x 8 executors = 64 runnable GC threads on 32
+        // cores at the 4N size — GC pauses then contend ACROSS executors
+        // exactly on the big side of the pair
         .config("spark.executor.extraJavaOptions",
           "-XX:+UseParallelGC -XX:NewRatio=1 -XX:ParallelGCThreads=" +
-            (coresPer * 2))
+            coresPer)
         .config("spark.locality.wait", "0")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.ui.enabled", "false")
@@ -35,11 +40,19 @@ object ClusterScaleProbe {
         println(f"execs=$execs cores=${execs * coresPer} $label: n=$n $s%.2f s tp=${n / s}%.0f t/s")
       }
       val raw = spark.read.parquet(inputDir)
+      import org.apache.spark.sql.functions._
+      def statsJob(): Long =
+        raw.select(graft.functions.ExtractStats.extractStats(col("text"))
+            .as("s"))
+          .agg(count(lit(1)), sum("s.n_bytes"))
+          .collect().head.getLong(0)
       time("narrow-warm")(
         graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
-      for (i <- 1 to 8) {
+      time("stats-warm")(statsJob())
+      for (i <- 1 to 6) {
         time(s"narrow-$i")(
           graft.pipeline.ExtractPipeline.extractNarrow(raw).count())
+        time(s"stats-$i")(statsJob())
       }
       spark.stop()
     }
