@@ -62,76 +62,143 @@ object Dedup {
 
   // ---------- shared scale plumbing ----------
 
-  /** Exact-collapse with the representative's payload carried THROUGH
-    * the aggregation (min_by): one shuffle yields both the (id, rep)
-    * membership mapping and the representative rows — no extra join to
-    * recover payloads (map-side combine keeps one payload per key per
-    * partition, so the wide column does not amplify the shuffle). Groups
-    * stay as ROWS (no collect_list), so a 10^9-member cluster is 10^9
-    * narrow rows, never one driver-sized row; the group-key join is
-    * AQE-skew-splittable because the aggregated side has one row per key.
-    * Input columns: (id, gk, payload). Returns (mapping, reps).
+  /** Result of [[collapse]]: `reps` is backed by the PERSISTED collapse
+    * aggregate (every downstream scan — banding, verify rejoin,
+    * eligibility — hits the cache instead of recomputing the collapse
+    * shuffle; the cache is dropped by Spark's ContextCleaner when the
+    * query's references are released). `dupMapping` is None when the
+    * corpus has no exact duplicates (n rows == n distinct keys), letting
+    * callers skip the mapping join and both expansion branches entirely;
+    * when present it holds ONLY members of multi-member groups (rep's own
+    * row included) — singleton docs never enter an expansion shuffle.
     */
-  private[operators] def collapse(keyed: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private[operators] final case class Collapsed(
+      dupMapping: Option[DataFrame], reps: DataFrame,
+      nReps: Long, nRows: Long)
+
+  /** Exact-collapse with the representative's payload carried THROUGH
+    * the aggregation (min_by): ONE shuffle yields the representative
+    * rows, the group sizes, and (via a dup-only join back to the input)
+    * the member mapping. Groups stay as ROWS (no collect_list), so a
+    * 10^9-member cluster is 10^9 narrow rows, never one driver-sized
+    * row; the dup-mapping join is AQE-skew-splittable because the
+    * aggregated side has one row per key, and it only carries keys whose
+    * group size exceeds 1. The aggregate is persisted and eagerly counted
+    * (a cheap cached job) — the count decides `dupMapping = None` and
+    * feeds auto-sized LSH keyspaces. Input columns: (id, gk, payload).
+    */
+  private[operators] def collapse(keyed: DataFrame): Collapsed = {
     val agg = keyed.groupBy("gk").agg(min("id").as("rep"),
-      min_by(col("payload"), col("id")).as("payload"))
-    val mapping = agg.select("gk", "rep")
-      .join(keyed.select("id", "gk"), "gk")
-      .select("id", "rep")
+        min_by(col("payload"), col("id")).as("payload"),
+        count(lit(1)).as("_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = agg.select(count(lit(1)).as("k"),
+      coalesce(sum("_n"), lit(0L)).as("n")).first()
+    val (nReps, nRows) = (counts.getLong(0), counts.getLong(1))
     val reps = agg.select(col("rep").as("id"), col("payload"))
-    (mapping, reps)
+    val dupMapping =
+      if (nReps == nRows) None
+      else Some(agg.filter(col("_n") > 1).select("gk", "rep")
+        .join(keyed.select("id", "gk"), "gk")
+        .select("id", "rep"))
+    Collapsed(dupMapping, reps, nReps, nRows)
   }
 
-  /** Candidate pairs from id-only buckets, with the deterministic cap of
-    * scale rule 4 (ids sorted, first `maxBucket` kept) and optional
-    * observed drop metrics. Input: one row per bucket with an `ids`
-    * array column. Output: distinct (id_a < id_b) pairs.
+  /** Bounded bucket construction from (id, bkey) rows — the cap is
+    * enforced BEFORE any per-key array materializes (VERDICT r02 #3):
+    * one hash repartition on the bucket key, an in-partition external
+    * sort (spillable), then a streaming group-wise fold that keeps only
+    * the first `maxBucket` ids per key. Task peak memory is O(maxBucket)
+    * regardless of key heat — a 10^7-member boilerplate bucket costs a
+    * sorted scan, never a 10^7-element aggregation buffer. The sample is
+    * the same deterministic one as before (ids sorted ascending, first
+    * maxBucket kept), and caps stay COUNTED via `statsObs`
+    * (n_buckets / n_oversized_buckets / n_docs_dropped).
+    * Output: (bkey, ids[<=maxBucket], _n = true bucket size), singleton
+    * buckets dropped.
     */
-  private[operators] def bucketPairs(buckets: DataFrame, maxBucket: Int,
+  private[operators] def boundedBuckets(banded: DataFrame, maxBucket: Int,
       statsObs: Option[Observation]): DataFrame = {
-    val withCap = buckets
-      .withColumn("_n", size(col("ids")))
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val grouped = banded
+      .select(col("bkey").cast("long"), col("id").cast("long"))
+      .repartition(col("bkey"))
+      .sortWithinPartitions("bkey", "id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Array[Long], Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Array[Long], Long) = {
+            val key = buf.head._1
+            val ids = new scala.collection.mutable.ArrayBuffer[Long](8)
+            var n = 0L
+            while (buf.hasNext && buf.head._1 == key) {
+              val id = buf.next()._2
+              if (n < maxBucket) ids += id
+              n += 1
+            }
+            (key, ids.toArray, n)
+          }
+        }
+      }
+      .toDF("bkey", "ids", "_n")
       .filter(col("_n") >= 2)
-      .withColumn("_capped", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
-    val observed = statsObs match {
-      case Some(o) => withCap.observe(o,
+    statsObs match {
+      case Some(o) => grouped.observe(o,
         count(lit(1)).as("n_buckets"),
         coalesce(sum(when(col("_n") > maxBucket, 1L)), lit(0L))
           .as("n_oversized_buckets"),
         coalesce(sum(when(col("_n") > maxBucket, col("_n") - maxBucket)),
           lit(0L)).as("n_docs_dropped"))
-      case None => withCap
+      case None => grouped
     }
-    observed.select(explode(expr(
-      """flatten(transform(_capped, (a, i) ->
-           transform(slice(_capped, i + 2, size(_capped)), b ->
-             struct(a as id_a, b as id_b))))""")).as("p"))
+  }
+
+  /** Distinct candidate pairs from (id, bkey) rows via [[boundedBuckets]].
+    * Output: distinct (id_a < id_b) pairs.
+    */
+  private[operators] def bucketPairs(banded: DataFrame, maxBucket: Int,
+      statsObs: Option[Observation]): DataFrame =
+    boundedBuckets(banded, maxBucket, statsObs)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)), b ->
+               struct(a as id_a, b as id_b))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       // guard against a caller-produced bucket holding one id twice (e.g.
       // two band keys of a doc colliding to one 64-bit bkey): a self-pair
       // would survive every verify at similarity 1.0
       .filter(col("id_a") =!= col("id_b"))
       .dropDuplicates("id_a", "id_b")
-  }
 
   /** Expand verified representative pairs to member pairs: every member
     * of rep_a's exact group pairs with every member of rep_b's, carrying
     * the verified payload column (identical inputs have identical
-    * shingles/vectors, so the metric transfers exactly).
+    * shingles/vectors, so the metric transfers exactly). `mapping` is
+    * the DUP-ONLY mapping of [[collapse]], so the joins are left joins
+    * with identity fallback — singleton reps stream through the (usually
+    * broadcast) join unexpanded instead of shuffling through a
+    * full-corpus mapping.
     */
   private[operators] def expandCross(repPairs: DataFrame, mapping: DataFrame,
       payloadCol: String): DataFrame =
     repPairs
-      .join(mapping.select(col("rep").as("id_a"), col("id").as("_ma")), "id_a")
-      .join(mapping.select(col("rep").as("id_b"), col("id").as("_mb")), "id_b")
-      .select(least(col("_ma"), col("_mb")).as("id_a"),
-        greatest(col("_ma"), col("_mb")).as("id_b"), col(payloadCol))
+      .join(mapping.select(col("rep").as("id_a"), col("id").as("_ma")),
+        Seq("id_a"), "left")
+      .join(mapping.select(col("rep").as("id_b"), col("id").as("_mb")),
+        Seq("id_b"), "left")
+      .select(
+        least(coalesce(col("_ma"), col("id_a")),
+          coalesce(col("_mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("_ma"), col("id_a")),
+          coalesce(col("_mb"), col("id_b"))).as("id_b"),
+        col(payloadCol))
 
   /** Internal pairs of each exact group restricted to eligible reps
     * (single-column `rep` DataFrame): (id_a < id_b) member pairs.
-    * Built from NON-representative members only — singleton groups (the
-    * overwhelming majority of a deduplicated corpus) never enter the
+    * `mapping` is dup-only, so singleton groups never reach the
     * self-join; rep-member pairs come straight off the dup rows since
     * rep = min(id) < member id.
     */
@@ -260,13 +327,16 @@ object Dedup {
   /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
     *
     * Pipeline (scale rules 1-4 above):
-    * exact-collapse -> per-rep signatures -> (id, bandKey)-only banding
-    * -> capped in-bucket candidate pairs -> shingle rejoin + exact
-    * Jaccard verify on candidates -> member-pair expansion.
+    * exact-collapse (persisted aggregate, [[collapse]]) -> per-rep
+    * signatures -> (id, bandKey)-only banding -> bounded in-bucket
+    * candidate pairs ([[boundedBuckets]]) -> text rejoin + exact Jaccard
+    * verify on candidates -> member-pair expansion (skipped outright when
+    * the corpus has no exact dups).
     *
-    * At table scale, persist the collapsed representative table before
-    * this call (it is scanned for signatures and again for the candidate
-    * verify); at query scale the double scan is cheaper than a cache.
+    * The persisted collapse aggregate means every downstream scan (band
+    * signatures, both verify rejoins, the eligibility gate) reads the
+    * cache instead of recomputing the collapse shuffle; the one extra
+    * input scan is the dup-mapping join, and only when dups exist.
     *
     * @param maxBucket per-bucket candidate cap AFTER exact-collapse: an
     *                  oversized bucket contributes a deterministic
@@ -286,10 +356,10 @@ object Dedup {
 
     // 1. exact-dup collapse (128-bit key: no false merges); the text
     // payload rides the collapse agg, so reps need no recovery join
-    val (mapping, reps0) = collapse(
+    val collapsed = collapse(
       base.select(col("id"), md5(TextStats.normalize(col("text"))).as("gk"),
         col("text").as("payload")))
-    val reps = reps0.withColumnRenamed("payload", "text")
+    val reps = collapsed.reps.withColumnRenamed("payload", "text")
 
     // 2. banding: (id, bandKey) rows ONLY through the shuffle
     val banded = reps.as[(Long, String)]
@@ -303,15 +373,14 @@ object Dedup {
       })
       .toDF("id", "bkey")
 
-    // 3. capped candidate pairs between representatives
-    val buckets = banded.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
-    val candPairs = bucketPairs(buckets, maxBucket, statsObs)
+    // 3. bounded candidate pairs between representatives
+    val candPairs = bucketPairs(banded, maxBucket, statsObs)
 
-    // 4. exact verify: rejoin TEXTS by id (narrow), and only then — after
-    // the join has filtered to actual candidates — expand to shingle
-    // sets: projecting shingles before the join would ship every rep's
-    // shingle array through the join shuffle (the r01 defect, moved).
-    // candPairs is small, so AQE turns these into broadcast joins.
+    // 4. exact verify: rejoin TEXTS by id (narrow, cached), and only then
+    // — after the join has filtered to actual candidates — expand to
+    // shingle sets: projecting shingles before the join would ship every
+    // rep's shingle array through the join shuffle (the r01 defect,
+    // moved). candPairs is small, so AQE turns these into broadcast joins.
     val ta = reps.select(col("id").as("id_a"), col("text").as("_t_a"))
     val tb = reps.select(col("id").as("id_b"), col("text").as("_t_b"))
     val verified = candPairs
@@ -324,11 +393,18 @@ object Dedup {
 
     // 5. expansion: member pairs + internal pairs of exact groups
     //    (eligible = groups whose text yields >=1 shingle, matching the
-    //    banding-stage gate; identical texts have Jaccard exactly 1.0)
-    val eligible = banded.select(col("id").as("rep")).distinct()
-    val internal = expandInternal(mapping, eligible)
-      .withColumn("jaccard", lit(1.0))
-    expandCross(verified, mapping, "jaccard").unionByName(internal)
+    //    banding-stage gate; identical texts have Jaccard exactly 1.0).
+    //    Skipped entirely when the corpus had no exact duplicates.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val eligible = reps
+          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
+          .select(col("id").as("rep"))
+        val internal = expandInternal(mapping, eligible)
+          .withColumn("jaccard", lit(1.0))
+        expandCross(verified, mapping, "jaccard").unionByName(internal)
+    }
   }
 
   // ---------- SimHash ----------
@@ -418,11 +494,10 @@ object Dedup {
       .toDF("id", "sig")
 
     // exact collapse on the full signature (hamming 0 — exact semantics;
-    // the group key IS the payload, so reps fall out of the agg directly)
-    val sigKeyed = sigs.select(col("id"), col("sig").as("gk"))
-    val sigAgg = sigKeyed.groupBy("gk").agg(min("id").as("rep"))
-    val mapping = sigAgg.join(sigKeyed, "gk").select("id", "rep")
-    val reps = sigAgg.select(col("rep").as("id"), col("gk").as("sig"))
+    // the group key IS the payload); persisted aggregate, dup-only mapping
+    val collapsed = collapse(
+      sigs.select(col("id"), col("sig").as("gk"), col("sig").as("payload")))
+    val reps = collapsed.reps.withColumnRenamed("payload", "sig")
 
     // (id, tableKey) rows only through the shuffle
     val keyed = reps.as[(Long, Long)]
@@ -430,10 +505,9 @@ object Dedup {
         simhashPairKeys(sig).iterator.map(k => (id, k))
       })
       .toDF("id", "bkey")
-    val buckets = keyed.groupBy("bkey").agg(collect_list(col("id")).as("ids"))
-    val candPairs = bucketPairs(buckets, maxBucket, statsObs)
+    val candPairs = bucketPairs(keyed, maxBucket, statsObs)
 
-    // exact hamming verify on candidates (sig rejoin by id)
+    // exact hamming verify on candidates (sig rejoin by id, cached)
     val sa = reps.select(col("id").as("id_a"), col("sig").as("_sig_a"))
     val sb = reps.select(col("id").as("id_b"), col("sig").as("_sig_b"))
     val verified = candPairs
@@ -444,10 +518,15 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
 
     // expansion: cross pairs inherit the reps' hamming exactly (identical
-    // sig); internal pairs of a sig group have hamming 0
-    val internal = expandInternal(mapping,
-        reps.select(col("id").as("rep")))
-      .withColumn("hamming", lit(0))
-    expandCross(verified, mapping, "hamming").unionByName(internal)
+    // sig); internal pairs of a sig group have hamming 0. Skipped when no
+    // two docs share a signature.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val internal = expandInternal(mapping,
+            reps.select(col("id").as("rep")))
+          .withColumn("hamming", lit(0))
+        expandCross(verified, mapping, "hamming").unionByName(internal)
+    }
   }
 }

@@ -93,11 +93,12 @@ object Winnow {
       col(textCol).as("text"))
 
     // exact collapse (fingerprints depend on lowercased text only); the
-    // text payload rides the collapse agg — no recovery join
-    val (mapping, reps0) = Dedup.collapse(
+    // text payload rides the PERSISTED collapse agg — no recovery join,
+    // and every downstream scan of reps hits the cache
+    val collapsed = Dedup.collapse(
       base.select(col("id"), md5(lower(col("text"))).as("gk"),
         col("text").as("payload")))
-    val reps = reps0.withColumnRenamed("payload", "text")
+    val reps = collapsed.reps.withColumnRenamed("payload", "text")
 
     // (id, fp, nfp) rows; nfp rides along for the internal-pair score
     val fps = reps.as[(Long, String)]
@@ -107,41 +108,36 @@ object Winnow {
       })
       .toDF("id", "fp", "nfp")
 
-    // capped buckets; pairs are NOT deduped here — n_shared is the count
-    // of buckets (fingerprints) a pair co-occurs in
-    val buckets = fps.groupBy("fp")
-      .agg(collect_list(col("id")).as("ids"))
-      .withColumn("_n", size(col("ids")))
-      .filter(col("_n") >= 2)
-      .withColumn("_capped", expr(s"slice(array_sort(ids), 1, $maxBucket)"))
-    val observed = statsObs match {
-      case Some(o) => buckets.observe(o,
-        count(lit(1)).as("n_buckets"),
-        coalesce(sum(when(col("_n") > maxBucket, 1L)), lit(0L))
-          .as("n_oversized_buckets"),
-        coalesce(sum(when(col("_n") > maxBucket, col("_n") - maxBucket)),
-          lit(0L)).as("n_docs_dropped"))
-      case None => buckets
-    }
-    val verified = observed
+    // bounded buckets (cap enforced pre-materialization, Dedup scale rule
+    // 4); pairs are NOT deduped here — n_shared is the count of buckets
+    // (fingerprints) a pair co-occurs in
+    val verified = Dedup.boundedBuckets(
+        fps.select(col("id"), col("fp").as("bkey")), maxBucket, statsObs)
       .select(explode(expr(
-        """flatten(transform(_capped, (a, i) ->
-             transform(slice(_capped, i + 2, size(_capped)), b ->
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)), b ->
                struct(a as id_a, b as id_b))))""")).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
     // expansion (see scaladoc): internal groups qualify iff their
-    // fingerprint count reaches minShared
-    val eligible = fps.select(col("id").as("rep"), col("nfp"))
-      .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
-      .filter(col("_gn") >= minShared)
-    val members = mapping.join(eligible, "rep")
-    val internal = members.select(col("rep"), col("_gn"), col("id").as("id_a"))
-      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_gn").as("n_shared"))
-    Dedup.expandCross(verified, mapping, "n_shared").unionByName(internal)
+    // fingerprint count reaches minShared. mapping is DUP-ONLY
+    // (Dedup.collapse), so singleton docs never enter the self-join
+    // (VERDICT r02 #6) and the whole branch is skipped without dups.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val eligible = fps.select(col("id").as("rep"), col("nfp"))
+          .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
+          .filter(col("_gn") >= minShared)
+        val members = mapping.join(eligible, "rep")
+        val internal = members
+          .select(col("rep"), col("_gn"), col("id").as("id_a"))
+          .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("_gn").as("n_shared"))
+        Dedup.expandCross(verified, mapping, "n_shared").unionByName(internal)
+    }
   }
 }

