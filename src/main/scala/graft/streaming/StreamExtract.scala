@@ -32,8 +32,9 @@ object StreamExtract {
   /** Per-conversation running progress (turns seen, bytes extracted) via
     * mapGroupsWithState — the stateful-op surface (KeyValueGroupedDataset).
     * NoTimeout: a processing-time timeout keeps scheduling wake-up batches
-    * forever, which live-locks bounded smoke runs; state eviction belongs
-    * to a watermark policy in a production deployment.
+    * forever, which live-locks bounded smoke runs. For an unbounded
+    * firehose use [[conversationProgressEvicting]], which bounds state by
+    * the event-time watermark.
     */
   final case class ConvProgress(conv_id: String, nTurns: Long, nBytes: Long)
 
@@ -56,6 +57,50 @@ object StreamExtract {
           val next = ConvProgress(convId, prev.nTurns + n, prev.nBytes + bytes)
           state.update(next)
           next
+      }
+  }
+
+  /** Watermark-evicting variant of [[conversationProgress]] — the
+    * production-firehose policy the NoTimeout scaladoc defers (VERDICT
+    * r02 #9): a conversation's state times out `gapMs` of EVENT TIME
+    * after its last seen turn, emits its final progress row once, and is
+    * REMOVED — total state is bounded by the number of conversations
+    * active inside one watermark horizon, independent of stream length.
+    */
+  def conversationProgressEvicting(turns: Dataset[Turn],
+      watermark: String = "10 minutes", gapMs: Long = 60000L)
+      (implicit enc1: org.apache.spark.sql.Encoder[ConvProgress])
+      : Dataset[ConvProgress] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvProgress]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(ConvProgress(convId, 0L, 0L))
+            state.remove()
+            last
+          } else {
+            var n = 0L
+            var bytes = 0L
+            var maxTs = Long.MinValue
+            rows.foreach { t =>
+              n += 1
+              val e = graft.pipeline.TurnExtractor.extract(t)
+              bytes += e.nBytes
+              if (t.ts != null && t.ts.getTime > maxTs) maxTs = t.ts.getTime
+            }
+            val prev = state.getOption.getOrElse(ConvProgress(convId, 0L, 0L))
+            val next =
+              ConvProgress(convId, prev.nTurns + n, prev.nBytes + bytes)
+            state.update(next)
+            // timeout must sit past the current watermark; late rows can
+            // have maxTs below it, so clamp up by one tick
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs + gapMs, wm + 1L))
+            next
+          }
       }
   }
 

@@ -69,6 +69,34 @@ class StreamExtractSpec extends AnyFunSuite {
     assert(texts.contains("different text"))
   }
 
+  test("evicting progress: watermark advance removes conversation state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.pipeline.Turn]
+    def ts(min: Int) = new java.sql.Timestamp(1735689600000L + min * 60000L)
+    def turn(c: String, i: Int, min: Int) =
+      graft.pipeline.Turn(c, i, "user", s"text $c $i", null, ts(min))
+    val q = StreamExtract.conversationProgressEvicting(
+        mem.toDS(), watermark = "1 minute", gapMs = 60000L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("evict_out").start()
+    mem.addData(turn("A", 0, 0), turn("A", 1, 1))
+    q.processAllAvailable() // A tracked; watermark -> ts(0)
+    mem.addData(turn("B", 0, 120))
+    q.processAllAvailable() // watermark -> ts(119); A's timeout now past
+    mem.addData(turn("B", 1, 121))
+    q.processAllAvailable() // timeout fires: A emits final row, evicted
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(stateRows == 1, s"A must be evicted, B kept; state=$stateRows")
+    val byConv = spark.table("evict_out").collect()
+      .groupBy(_.getString(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).max }
+    assert(byConv("A") == 2L) // final row still correct after eviction
+    assert(byConv("B") == 2L)
+  }
+
   test("stateful conversation progress accumulates per conv") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-state").toString
