@@ -321,6 +321,12 @@ object SparkEntry {
         "embedding", "vec_id", threshold = 0.99)
     }),
 
+    // q25/q30/q36/q37/q39 run typed Dataset.map lambdas DELIBERATELY:
+    // they exercise the Scala dialect functions the reference defines
+    // (LangId, DocDates, DocScalars), each a serde boundary that breaks
+    // codegen for its stage. Users who want the codegen path can express
+    // the same logic in SQL — the DuckDB oracles of these queries are
+    // exactly that re-expression and translate to Spark SQL directly.
     "q25_langid_ngram" -> ((s, dir) => {
       val s2 = s
       import s2.implicits._

@@ -20,14 +20,13 @@ object ClusterScaleProbe {
       val spark = SparkSession.builder()
         .master(s"local-cluster[$execs,$coresPer,8192]")
         .config("spark.executor.extraClassPath", classes)
-        .config("spark.executor.memory", "4g")
-        // GC threads = executor cores: the old coresPer*2 default put
-        // 8 GC threads x 8 executors = 64 runnable GC threads on 32
-        // cores at the 4N size — GC pauses then contend ACROSS executors
-        // exactly on the big side of the pair
+        // 1g heaps + container-style thread ergonomics — see the
+        // Bench.clusterSession comment (4g heaps measured a 15x pass-2/3
+        // anomaly at 8x4, graft.tools.BenchOrderProbe)
+        .config("spark.executor.memory", "1g")
         .config("spark.executor.extraJavaOptions",
-          "-XX:+UseParallelGC -XX:NewRatio=1 -XX:ParallelGCThreads=" +
-            coresPer)
+          s"-XX:ActiveProcessorCount=$coresPer -XX:+UseParallelGC " +
+            s"-XX:NewRatio=1 -XX:ParallelGCThreads=$coresPer")
         .config("spark.locality.wait", "0")
         .config("spark.sql.shuffle.partitions", (execs * coresPer).toString)
         .config("spark.ui.enabled", "false")
