@@ -490,6 +490,25 @@ object SparkEntry {
           col("s.n_paras").as("n_paras"), col("s.n_chars").as("n_chars"),
           col("s.n_bytes").as("n_bytes"))),
 
+    // ---------- corpus curation (the training-pipeline stages beyond
+    // dedup: decontamination, repetition gate, deterministic sampling) --
+    "q41_decontaminate" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val benchmark = corpus.filter(col("doc_id") < 15).select("text")
+      operators.Curation.decontaminate(corpus, benchmark, "text", "doc_id")
+        .select("doc_id")
+    }),
+
+    "q42_repetition_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(operators.Curation.repetitionRatio(col("text")), 4)
+          .as("rep_ratio"))),
+
+    "q43_stratified_sample" -> ((s, dir) =>
+      operators.Curation.stratifiedTake(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", 10)),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
@@ -601,6 +620,58 @@ object SparkEntry {
              p -> trim(p)), '|') AS persons
          FROM txt
          WHERE doc_id % 4 <> 2""",
+
+    // decontamination re-derived: same normalization, same 8-gram
+    // shingles, same any-overlap rule (string equality — the md5 keys in
+    // the operator are a pure transport encoding)
+    "q41_decontaminate" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               ' ') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 7, 0) + 1),
+               i -> array_to_string(tk[i:i+7], ' '))) AS shs
+           FROM d
+         ), b AS (
+           SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 15
+         ), contaminated AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+           WHERE s IN (SELECT s FROM b)
+         )
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+
+    "q42_repetition_ratio" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               ' ') AS tk
+           FROM documents
+         ), g AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+               i -> array_to_string(tk[i:i+1], ' ')) AS gs
+           FROM d
+         )
+         SELECT doc_id,
+           CASE WHEN len(gs) <= 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(gs))::DOUBLE / len(gs), 4)
+           END AS rep_ratio
+         FROM g""",
+
+    "q43_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents
+         )
+         SELECT lang, doc_id FROM r WHERE rn <= 10""",
 
     // extract_stats over single-line prose: the q28 closed forms, plus
     // byte length via utf8 encoding

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup: benchmark decontamination, repetition-based quality
+  * filtering, and deterministic content-stable sampling. All published
+  * techniques (the C4/MassiveText-style curation stages described in
+  * public literature); everything here composes `functions._` columns so
+  * the hot paths stay inside whole-stage codegen.
+  */
+object Curation {
+
+  /** Non-distinct word n-grams of normalized text (codegen'd; the
+    * multiset counterpart of [[Dedup.wordShingles]]).
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val tokens = split(TextStats.normalize(c), " ")
+    filter(
+      transform(tokens, (_, i) =>
+        when(i <= size(tokens) - n,
+          array_join(slice(tokens, i + 1, lit(n)), " "))),
+      x => x.isNotNull)
+  }
+
+  /** Duplicated-n-gram fraction in [0,1]: 1 - distinct/total n-grams —
+    * the standard repetition quality gate (high values flag degenerate
+    * boilerplate/spam); 0 when the text has fewer than n tokens.
+    */
+  def repetitionRatio(c: Column, n: Int = 2): Column = {
+    val g = wordNgrams(c, n)
+    when(size(g) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Benchmark decontamination: drop corpus docs sharing at least one
+    * word k-shingle with ANY benchmark doc (the overlap rule used to
+    * keep eval data out of training corpora).
+    *
+    * Scale shape: the benchmark side is distinct shingle KEYS only
+    * (md5 — 128-bit, collision-free in practice, and recomputable by
+    * the DuckDB oracle) and is tiny relative to the corpus (eval suites
+    * are hand-built), so Spark broadcasts it and the corpus-side
+    * semi-join + anti-join run MAP-SIDE: the corpus is never shuffled,
+    * only scanned. The shingle explode is corpus-local and feeds the
+    * distinct contaminated-id set (one narrow shuffle over matching ids
+    * only).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    shingleK: Int = 8): DataFrame = {
+    val bKeys = benchmark
+      .select(explode(Dedup.wordShingles(col(textCol), shingleK)).as("_sh"))
+      .select(md5(col("_sh")).as("_shk"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), shingleK)).as("_sh"))
+      .select(col(idCol), md5(col("_sh")).as("_shk"))
+      .join(broadcast(bKeys), "_shk")
+      .select(idCol)
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic content-stable sampling: keep rows whose
+    * md5(key || salt) hex prefix sorts below `hexThreshold` — the keep
+    * fraction is int(hexThreshold, 16) / 16^len(hexThreshold). Stable
+    * across runs, partitionings and engines (md5 is everywhere), and
+    * needs NO shuffle — it is a pushable filter, the only sampling
+    * discipline that stays reproducible when the input layout changes.
+    */
+  def hashSample(df: DataFrame, keyCol: Column,
+                 hexThreshold: String, salt: String = "graft"): DataFrame =
+    df.filter(
+      substring(md5(concat(keyCol.cast("string"), lit(salt))), 1,
+        hexThreshold.length) < lit(hexThreshold))
+
+  /** Exactly n rows per stratum, chosen by hash order (deterministic,
+    * content-stable). The rank runs over a NARROW (stratum, key, hash)
+    * projection — the same discipline as ExtractPipeline.withConvOrder:
+    * the per-stratum exchange ships ~50-byte rows and the payload
+    * rejoins on (stratum, key). A stratum bigger than one task's sort
+    * budget spills (external sort); for corpus-scale strata where exact
+    * n is not required, [[hashSample]] with a per-stratum threshold is
+    * the shuffle-free alternative.
+    */
+  def stratifiedTake(df: DataFrame, stratumCol: String, keyCol: String,
+                     nPerStratum: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("_hk"), col(keyCol))
+    val keep = df.select(col(stratumCol), col(keyCol))
+      .withColumn("_hk", md5(col(keyCol).cast("string")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nPerStratum)
+      .select(stratumCol, keyCol)
+    df.join(keep, Seq(stratumCol, keyCol), "left_semi")
+  }
+}

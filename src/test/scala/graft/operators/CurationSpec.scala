@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("decontaminate drops docs sharing a k-shingle with the benchmark") {
+    val evalText = "which of the following statements about spark " +
+      "catalyst is true given the options below"
+    val corpus = docs(
+      1L -> s"training doc that quotes: $evalText and then continues on",
+      2L -> ("a completely unrelated training document about cooking " +
+        "pasta with tomatoes and fresh basil leaves in summer"),
+      3L -> ("prefix words " + evalText), // contains the 8-gram
+      4L -> "short") // fewer than k tokens => no shingles, never dropped
+    val s = spark
+    import s.implicits._
+    val benchmark = Seq(Tuple1(evalText)).toDF("text")
+    val kept = Curation.decontaminate(corpus, benchmark, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+    // plan shape: benchmark keys broadcast; the corpus side is not
+    // exchanged before the contamination join
+    val plan = Curation.decontaminate(corpus, benchmark, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("repetitionRatio measures duplicated bigram share") {
+    val r = docs(
+      1L -> "a a a",              // bigrams: (a a) x2 -> 1 - 1/2 = 0.5
+      2L -> "w x y z",            // all distinct -> 0
+      3L -> "spam spam spam spam spam", // 4 bigrams, 1 distinct -> 0.75
+      4L -> "one",                // < n tokens -> 0
+      5L -> "")
+      .select(col("doc_id"), Curation.repetitionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 0.5 && r(2L) == 0.0 && r(3L) == 0.75)
+    assert(r(4L) == 0.0 && r(5L) == 0.0)
+  }
+
+  test("hashSample is a deterministic pushable filter near the target rate") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(10000).toDF("id")
+    val a = Curation.hashSample(df, col("id"), "28f6") // ~16%
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(df, col("id"), "28f6")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "content-stable: same keys every run")
+    val frac = a.size / 10000.0
+    assert(frac > 0.13 && frac < 0.19, s"got $frac for a 16% threshold")
+    // repartitioning the input must not change the sample
+    val c = Curation.hashSample(df.repartition(7), col("id"), "28f6")
+      .collect().map(_.getLong(0)).toSet
+    assert(c == a)
+    // no shuffle: it is a plain filter
+    assert(!Curation.hashSample(df, col("id"), "28f6")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("stratifiedTake: exactly n per stratum, narrow rank projection") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(300)
+      .select(col("id").as("doc_id"),
+        (col("id") % 3).cast("string").as("lang"))
+    val out = Curation.stratifiedTake(df, "lang", "doc_id", 7)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(7L))
+    // deterministic across runs
+    val ids1 = out.collect().map(_.getLong(1)).sorted.toSeq
+    val ids2 = Curation.stratifiedTake(df, "lang", "doc_id", 7)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(ids1 == ids2)
+    // the window ranks a narrow projection, never the payload
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wide = df.withColumn("payload", lit("x").substr(0, 1))
+    val wins = Curation.stratifiedTake(wide, "lang", "doc_id", 7)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    for (w <- wins) {
+      assert(!w.child.output.map(_.name).contains("payload"))
+    }
+  }
+}
