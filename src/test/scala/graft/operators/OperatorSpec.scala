@@ -281,6 +281,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(LangId.detect("12345 67890") == "unknown")
   }
 
+  test("collapse: persisted aggregate, dup-only mapping, no-dup skip") {
+    import org.apache.spark.sql.functions.md5
+    // duplicated corpus: mapping holds ONLY multi-member groups
+    val dups = docs(1L -> "same text", 2L -> "same text", 3L -> "unique",
+      4L -> "other unique")
+      .select(col("doc_id").as("id"), md5(col("text")).as("gk"),
+        col("text").as("payload"))
+    val c = Dedup.collapse(dups)
+    assert(c.nRows == 4 && c.nReps == 3)
+    val mapping = c.dupMapping.get.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rep"))).sorted
+    assert(mapping.toSeq == Seq((1L, 1L), (2L, 1L)),
+      "singletons must not enter the mapping")
+    assert(c.reps.count() == 3)
+    // distinct corpus: the mapping (and expansion joins) are skipped
+    val uniq = docs(1L -> "a1", 2L -> "b2", 3L -> "c3")
+      .select(col("doc_id").as("id"), md5(col("text")).as("gk"),
+        col("text").as("payload"))
+    val c2 = Dedup.collapse(uniq)
+    assert(c2.dupMapping.isEmpty && c2.nReps == 3 && c2.nRows == 3)
+  }
+
+  test("minhash plan shape: cached collapse, bounded buckets (no " +
+    "collect_list of ids)") {
+    val d = docs(1L -> ("x " * 20), 2L -> ("x " * 19 + "y"),
+      3L -> ("x " * 20)) // one exact dup + one near dup
+    val plan = Dedup.minhashNearDups(d, "text", "doc_id", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    // every reps scan reads the persisted collapse aggregate
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // the id-per-bucket cap is the streaming fold, not an agg buffer
+    assert(!plan.contains("collect_list"), plan)
+  }
+
   test("bounded buckets: a 1e5-id hot key yields a capped sample, " +
     "never an unbounded array (VERDICT r02 #3)") {
     // the fold keeps at most maxBucket ids per key by construction, so a
