@@ -509,6 +509,20 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang"),
         "lang", "doc_id", 10)),
 
+    // the span surface of the kernel (kind, offset, length rows): prose
+    // docs have the closed form "one header span covering the line"
+    "q44_extract_spans" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val md = graft.core.Segmenter.segment(
+            graft.core.Tokenizer.tokenize(text))
+          md.spans.map(sp => (id, sp.kind, sp.offset, sp.length))
+        }
+        .toDF("doc_id", "kind", "offset", "length")
+    }),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
@@ -672,6 +686,12 @@ object SparkEntry {
            FROM documents
          )
          SELECT lang, doc_id FROM r WHERE rn <= 10""",
+
+    // prose span invariant: one header span covering the whole line
+    "q44_extract_spans" ->
+      """SELECT doc_id, 'header' AS kind, 0 AS offset,
+           length(text) AS length
+         FROM documents WHERE trim(text) <> ''""",
 
     // extract_stats over single-line prose: the q28 closed forms, plus
     // byte length via utf8 encoding
