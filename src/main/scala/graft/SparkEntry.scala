@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Dedup, EventOps, Similarity, TextStats}
+import graft.operators.{Components, Dedup, EventOps, Similarity, TextStats}
 import graft.pipeline.{ExtractPipeline, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -523,6 +523,21 @@ object SparkEntry {
         .toDF("doc_id", "kind", "offset", "length")
     }),
 
+    "q45_dup_groups" -> ((s, dir) => {
+      // transitive closure of the q20 near-dup pairs: alternating
+      // large-star/small-star connected components label every
+      // duplicated doc with its group minimum — the stage that turns
+      // verified PAIRS into droppable GROUPS (A~B, B~C => {A,B,C} even
+      // when (A,C) itself fell below threshold)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail tokens")).as("text"))
+      val pairs = Dedup.minhashNearDups(d.unionByName(mutated), "text",
+        "doc_id", threshold = 0.5)
+      Components.dupGroups(pairs)
+    }),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
@@ -692,6 +707,39 @@ object SparkEntry {
       """SELECT doc_id, 'header' AS kind, 0 AS offset,
            length(text) AS length
          FROM documents WHERE trim(text) <> ''""",
+
+    // transitive near-dup groups: the q20 brute-force pair ground truth,
+    // closed transitively with a recursive CTE; group label = min id of
+    // the connected component (the exact semantics of the alternating
+    // large-star/small-star labeling)
+    "q45_dup_groups" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' extra tail tokens'
+           FROM documents WHERE doc_id < 50
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM corpus) t
+           WHERE len(w) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ), edges AS (
+           SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+         ), reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.id
+         )
+         SELECT id, min(r) AS group_id FROM reach GROUP BY id""",
 
     // extract_stats over single-line prose: the q28 closed forms, plus
     // byte length via utf8 encoding

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def pairs(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id_a", "id_b")
+  }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference union-find for the property net. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two components labeled by their minima") {
+    val got = labelsOf(Components.connectedComponents(
+      pairs(3L -> 1L, 1L -> 5L, 10L -> 20L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 20L -> 10L))
+  }
+
+  test("chain graph (worst case for min-propagation) converges") {
+    // a path 0-1-2-...-63: diameter 63, but star-contraction needs
+    // only O(log^2 n) rounds
+    val chain = (0L until 63L).map(i => i -> (i + 1))
+    val got = labelsOf(Components.connectedComponents(pairs(chain: _*)))
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loops and duplicate/reversed pairs are harmless") {
+    val got = labelsOf(Components.connectedComponents(
+      pairs(7L -> 7L, 2L -> 9L, 9L -> 2L, 2L -> 9L)))
+    assert(got == Map(2L -> 2L, 9L -> 2L))
+  }
+
+  test("empty pair set yields empty labeling") {
+    assert(Components.connectedComponents(pairs()).count() == 0L)
+  }
+
+  test("property net vs union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      val es = Seq.fill(60 + trial * 30)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val got = labelsOf(Components.connectedComponents(pairs(es: _*)))
+      assert(got == unionFind(es), s"trial $trial")
+    }
+  }
+
+  test("dropNearDups keeps one per transitive group plus untouched rows") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+      .toDF("doc_id", "text")
+    // 1~2, 2~3 transitively groups {1,2,3} even though (1,3) never paired
+    val kept = Components.dropNearDups(corpus, pairs(1L -> 2L, 2L -> 3L), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+}
