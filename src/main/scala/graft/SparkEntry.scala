@@ -538,6 +538,39 @@ object SparkEntry {
       Components.dupGroups(pairs)
     }),
 
+    "q46_ivf_ann" -> ((s, dir) => {
+      // IVF ANN: deterministic hash-sampled coarse quantizer (nlist=16),
+      // probe the 4 inverted lists nearest the query (vec_id 0's
+      // embedding), exact cosine re-rank inside — the partition-layout
+      // scale path next to q23's LSH probe (see Similarity.ivfIndex)
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0)
+      val pivots = Similarity.samplePivots(e, "embedding", "vec_id", 16)
+      Similarity.ivfTopK(e, "embedding", "vec_id", qv, 10, pivots, nprobe = 4)
+    }),
+
+    "q47_pii_scrub" -> ((s, dir) => {
+      // derived-text recipe (the q36/q37 pattern): plant deterministic
+      // PII around the real document text, then scrub + count — one
+      // map-side codegen'd scan, no shuffle
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val derived = concat(
+        lit("reach user"), col("doc_id").cast("string"),
+        lit("@example.com or visit https://docs.example.org/item/"),
+        col("doc_id").cast("string"),
+        lit(" from host 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" or call +1 415 55"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" today. "), col("text"))
+      d.select(col("doc_id"),
+          graft.operators.Curation.piiCounts(derived).as("c"),
+          graft.operators.Curation.scrubPii(derived).as("scrubbed"))
+        .select(col("doc_id"), col("c.*"), col("scrubbed"))
+    }),
+
     "q28_extract_documents" -> ((s, dir) => {
       // kernel over the documents table: prose in, paragraphs out
       val s2 = s
@@ -740,6 +773,58 @@ object SparkEntry {
            SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.id
          )
          SELECT id, min(r) AS group_id FROM reach GROUP BY id""",
+
+    // IVF mirrored end-to-end in SQL: same hash-order pivot sample, same
+    // argmin assignment (ties -> lowest pivot index), same 4-of-16 probe
+    // selection, same re-rank — validates the whole operator, while the
+    // recall/scan trade is covered by IvfSpec's clustered fixture
+    "q46_ivf_ann" ->
+      """WITH pivots AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS pv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) - 1 AS pidx
+           FROM embeddings
+           QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) <= 16
+         ), q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+         ), assign AS (
+           SELECT vec_id, pidx FROM (
+             SELECT e.vec_id, p.pidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY 1 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), p.pidx) AS rn
+             FROM embeddings e CROSS JOIN pivots p) WHERE rn = 1
+         ), probes AS (
+           SELECT pidx FROM (
+             SELECT p.pidx,
+               row_number() OVER (ORDER BY 1 - list_cosine_similarity(q.qv, p.pv), p.pidx) AS rn
+             FROM pivots p, q) WHERE rn <= 4
+         )
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+         FROM embeddings e
+         JOIN assign a ON e.vec_id = a.vec_id
+         JOIN probes pr ON a.pidx = pr.pidx, q
+         ORDER BY cos DESC, e.vec_id
+         LIMIT 10""",
+
+    // the same RE2-subset patterns replayed verbatim: counts on the raw
+    // derived text, the scrub chain in the same URL->EMAIL->IP->PHONE
+    // order (sequential regexp_replace with the global flag)
+    "q47_pii_scrub" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\+\d[\d() -]{6,}\d')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d[\d() -]{6,}\d', '<PHONE>', 'g') AS scrubbed
+         FROM (SELECT doc_id,
+           'reach user' || doc_id || '@example.com or visit https://docs.example.org/item/' || doc_id ||
+           ' from host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+           ' or call +1 415 55' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' today. ' || text AS t FROM documents)""",
 
     // extract_stats over single-line prose: the q28 closed forms, plus
     // byte length via utf8 encoding

@@ -99,4 +99,39 @@ object Curation {
       .select(stratumCol, keyCol)
     df.join(keep, Seq(stratumCol, keyCol), "left_semi")
   }
+
+  // ---------- PII scrubbing ----------
+
+  /** Scrub patterns, applied IN ORDER (URLs first, so an address inside
+    * a URL is masked as part of the URL). Restricted to the
+    * RE2-compatible subset (no lookaround, ASCII word boundaries) so
+    * the DuckDB oracle replays the exact same expressions; phone
+    * matching is deliberately conservative (international `+` prefix
+    * required) — a recall-first variant belongs to the caller, these
+    * are the published C4-style scrub shapes.
+    */
+  private[operators] val piiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^\\s]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+\\d[\\d() -]{6,}\\d")
+
+  /** Replace each PII class with its `<CLASS>` token — a codegen'd
+    * `regexp_replace` chain, one corpus scan, no shuffle (a pushable
+    * projection: at 100 TB this runs map-side inside whatever job
+    * already reads the text).
+    */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (name, p)) =>
+      regexp_replace(acc, p, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-class raw match counts on the UNSCRUBBED text (independent
+    * counts: an email inside a URL counts under both classes even
+    * though [[scrubPii]] masks it once, as part of the URL).
+    */
+  def piiCounts(c: Column): Column =
+    struct(piiPatterns.map { case (name, p) =>
+      regexp_count(c, lit(p)).as(s"n_${name}s")
+    }: _*)
 }

@@ -96,6 +96,119 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Deterministic coarse-quantizer pivots: the `nlist` corpus vectors
+    * with the smallest `md5(id || salt)` — a content-stable hash-order
+    * sample (the same discipline as [[Curation.hashSample]]), i.e. an
+    * IVF with an untrained quantizer in the FAISS sense. Returned
+    * driver-side: coarse quantizers are small BY DESIGN (nlist ~ sqrt(n);
+    * 65536 lists x 64 dims x 8B = 32 MB at 10^9 vectors) — the pivot
+    * table is the one piece of an IVF index that is *supposed* to be
+    * broadcastable. Refine with [[kmeansRefine]] when trained centroids
+    * are worth their cost; every downstream operator takes the pivot
+    * array, so trained and sampled quantizers are interchangeable.
+    */
+  def samplePivots(df: DataFrame, vecCol: String, idCol: String,
+                   nlist: Int, salt: String = "graft-ivf"): Array[Array[Double]] =
+    df.select(col(vecCol).cast("array<double>").as("v"),
+        md5(concat(col(idCol).cast("string"), lit(salt))).as("_h"),
+        col(idCol).as("_id"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Inverted-list assignment: index of the pivot with minimum cosine
+    * distance (ties -> lowest pivot index). Codegen'd transform chain
+    * over a literal pivot array — no UDF; `array_position` on the exact
+    * computed min is safe because both sides are the same expression.
+    */
+  def listAssign(vecCol: Column, pivots: Array[Array[Double]]): Column = {
+    val pl = array(pivots.map(p => array(p.map(lit): _*)): _*)
+    val dists = transform(pl, p => lit(1.0) - cosine(vecCol.cast("array<double>"), p))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Materialize the IVF index column. At scale, WRITE this partitioned
+    * (or bucketed) by `list_id`: probes then become partition-pruned
+    * scans of nprobe/nlist of the corpus instead of a full pass —
+    * that layout, not the assignment math, is what makes IVF pay at
+    * 100 TB (see the IvfSpec pushdown test).
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, idCol: String,
+               pivots: Array[Array[Double]]): DataFrame =
+    df.withColumn("list_id", listAssign(col(vecCol), pivots))
+
+  /** IVF ANN top-k: probe the `nprobe` inverted lists whose pivots are
+    * nearest the query (computed driver-side — the pivot table is
+    * driver-resident), exact cosine re-rank inside the probed lists.
+    * `nprobe = nlist` degrades to exact brute force; recall at fixed
+    * nprobe rises with how well the quantizer matches the data —
+    * [[samplePivots]] is distribution-matched for free because pivots
+    * ARE corpus points. Runs on an unindexed frame by computing the
+    * assignment inline; against a layout written by [[ivfIndex]] the
+    * same filter partition-prunes.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Double], k: Int, pivots: Array[Array[Double]],
+              nprobe: Int = 4): DataFrame = {
+    val probes = pivots.zipWithIndex.map { case (p, i) =>
+      val d = dotS(p, query.toArray)
+      val n = math.sqrt(p.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum)
+      (if (n == 0) 1.0 else 1.0 - d / n, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    val q = array(query.map(lit): _*)
+    df.withColumn("list_id", listAssign(col(vecCol), pivots))
+      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def dotS(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Lloyd refinement of a pivot set: `iters` rounds of
+    * assign -> per-list dimension means. Each round is one
+    * map-side-combinable groupBy over (list, dim) rows — nlist x dim
+    * aggregate cells, collected to the driver (the pivot table's size,
+    * see [[samplePivots]]); empty lists keep their previous pivot.
+    * Kept separate from the query path: training cost is per-index, not
+    * per-query, and the sampled quantizer is often good enough.
+    */
+  def kmeansRefine(df: DataFrame, vecCol: String,
+                   pivots: Array[Array[Double]], iters: Int = 2): Array[Array[Double]] = {
+    var ps = pivots
+    for (_ <- 0 until iters) {
+      val means = ivfIndex(df.select(col(vecCol).cast("array<double>").as("_v")), "_v", "_v", ps)
+        .select(col("list_id"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (lid, rows) =>
+          lid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      ps = ps.indices.map(i => means.getOrElse(i, ps(i))).toArray
+    }
+    ps
+  }
+
+  /** Mean within-list cosine distance — the IVF quality metric
+    * [[kmeansRefine]] minimizes; exposed for tests/monitoring. */
+  def ivfInertia(df: DataFrame, vecCol: String,
+                 pivots: Array[Array[Double]]): Double = {
+    val pl = array(pivots.map(p => array(p.map(lit): _*)): _*)
+    val v = col(vecCol).cast("array<double>")
+    ivfIndex(df, vecCol, vecCol, pivots)
+      .select((lit(1.0) - cosine(v, element_at(pl, col("list_id") + 1))).as("d"))
+      .agg(avg("d")).first().getDouble(0)
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH + exact verify (the embedding leg of the dedup suite).
     *

@@ -94,4 +94,36 @@ class CurationSpec extends AnyFunSuite {
       assert(!w.child.output.map(_.name).contains("payload"))
     }
   }
+
+  test("scrubPii masks each class and leaves prose untouched") {
+    val got = docs(1L ->
+      ("write to bob.smith+x@corp.example.co.uk or see " +
+        "https://a.example.com/p?q=1 from 192.168.0.1 " +
+        "call +44 (20) 7946-0958 before lunch"))
+      .select(Curation.scrubPii(col("text"))).first().getString(0)
+    assert(got == "write to <EMAIL> or see <URL> from <IP> " +
+      "call <PHONE> before lunch", got)
+  }
+
+  test("scrub order: an address inside a URL is masked as the URL") {
+    val got = docs(1L -> "go https://x.example.com/u/a@b.com now")
+      .select(Curation.scrubPii(col("text"))).first().getString(0)
+    assert(got == "go <URL> now", got)
+  }
+
+  test("piiCounts are independent raw counts on the unscrubbed text") {
+    val row = docs(1L ->
+      ("a@b.io c@d.io https://e.example.com 10.0.0.1 10.0.0.2 plain"))
+      .select(Curation.piiCounts(col("text")).as("c")).select("c.*")
+      .first()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+      == ((1, 2, 2, 0)))
+  }
+
+  test("scrubPii stays a map-side projection (no exchange)") {
+    val plan = docs(1L -> "x")
+      .select(Curation.scrubPii(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
