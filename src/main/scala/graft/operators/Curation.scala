@@ -16,25 +16,23 @@ object Curation {
   /** Non-distinct word n-grams of normalized text (codegen'd; the
     * multiset counterpart of [[Dedup.wordShingles]]).
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val tokens = split(TextStats.normalize(c), " ")
-    filter(
-      transform(tokens, (_, i) =>
-        when(i <= size(tokens) - n,
-          array_join(slice(tokens, i + 1, lit(n)), " "))),
-      x => x.isNotNull)
-  }
+  def wordNgrams(c: Column, n: Int): Column =
+    Dedup.bindOnce(split(TextStats.normalize(c), " "), tokens =>
+      filter(
+        transform(tokens, (_, i) =>
+          when(i <= size(tokens) - n,
+            array_join(slice(tokens, i + 1, lit(n)), " "))),
+        x => x.isNotNull))
 
   /** Duplicated-n-gram fraction in [0,1]: 1 - distinct/total n-grams —
     * the standard repetition quality gate (high values flag degenerate
     * boilerplate/spam); 0 when the text has fewer than n tokens.
     */
-  def repetitionRatio(c: Column, n: Int = 2): Column = {
-    val g = wordNgrams(c, n)
-    when(size(g) <= 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(g)).cast("double") / size(g))
-  }
+  def repetitionRatio(c: Column, n: Int = 2): Column =
+    Dedup.bindOnce(wordNgrams(c, n), g =>
+      when(size(g) <= 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(g)).cast("double") / size(g)))
 
   /** Benchmark decontamination: drop corpus docs sharing at least one
     * word k-shingle with ANY benchmark doc (the overlap rule used to
