@@ -233,12 +233,14 @@ object Bench {
           // session reading 7x low while 2x4 was clean), and best-of
           // only converges to the uncontended rate with enough samples.
           // Extra rounds are added while the pair estimate still reads
-          // below the host envelope (the pure-kernel pair measures
-          // ~0.77-0.79 on this box; a Spark pair materially below that
-          // is burst-shaped, not physics) — each extra round measures
-          // BOTH sizes identically, so the estimator stays symmetric;
-          // stopping early never inflates a best-of (noise is
-          // subtractive).
+          // below the host envelope (the serde-free pure-kernel pair
+          // drifts ~0.75-0.86 across runs on this box; a Spark pair
+          // materially below it is burst-shaped, not physics — at worst
+          // a pair genuinely AT a low-envelope window burns the three
+          // extra rounds inside the 360 s guard) — each extra round
+          // measures BOTH sizes identically, so the estimator stays
+          // symmetric; stopping early never inflates a best-of (noise
+          // is subtractive).
           val rounds = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
           var i = 0
           def curEff: Double =
@@ -246,7 +248,7 @@ object Bench {
             else (rounds.map(_._2).max / rounds.map(_._1).max) / 4.0
           while (i < 6 && (i == 0 ||
               (i < 3 && elapsedSec < 330) ||
-              (i >= 3 && curEff < 0.78 && elapsedSec < 390))) {
+              (i >= 3 && curEff < 0.78 && elapsedSec < 360))) {
             val tpN = measureCluster(2, 4)
             val tp4N = measureCluster(8, 4)
             rounds += ((tpN, tp4N))
@@ -299,23 +301,29 @@ object Bench {
     // (interleaved alternations, best-of per size, identical on both
     // sizes).
     val kernelPair: Option[(Double, Double, Double)] =
-      if (elapsedSec > 470 || cpus < 8) None
+      if (elapsedSec > 450 || cpus < 8) None
       else try {
-        val texts = spark.read.parquet(inputDir)
-          .select("text").collect().map(_.getString(0))
+        // apples-to-apples with the job under test: fold the SAME
+        // serde-free ExtractStats.compute (UTF8 decode + kernel + metric
+        // fold, NO output strings/object trees) that the Spark job runs —
+        // folding TurnExtractor.extract here would measure a strictly
+        // heavier-allocation workload and understate the envelope
+        val utf8 = spark.read.parquet(inputDir)
+          .select("text").collect().map(r =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
         def kRun(threads: Int): Double = {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-          val chunk = (texts.length + threads - 1) / threads
+          val chunk = (utf8.length + threads - 1) / threads
           val t0 = System.nanoTime()
           val futs = (0 until threads).map { t =>
             pool.submit(new java.util.concurrent.Callable[Long] {
               def call(): Long = {
                 var acc = 0L
                 var i = t * chunk
-                val end = math.min(texts.length, (t + 1) * chunk)
+                val end = math.min(utf8.length, (t + 1) * chunk)
                 while (i < end) {
-                  acc += graft.pipeline.TurnExtractor
-                    .extract("c", 0, texts(i)).nBytes
+                  acc += graft.functions.ExtractStats.compute(utf8(i))
+                    .getLong(3) // n_bytes
                   i += 1
                 }
                 acc
@@ -324,13 +332,14 @@ object Bench {
           }
           futs.foreach(_.get())
           pool.shutdown()
-          texts.length / ((System.nanoTime() - t0) / 1e9)
+          utf8.length / ((System.nanoTime() - t0) / 1e9)
         }
+        val nThreads = cpus / 4
         kRun(cpus) // warm pass, discarded (kernel is hot from the queries)
-        val ks = (1 to 2).map(_ => (kRun(cpus / 4), kRun(cpus)))
+        val ks = (1 to 2).map(_ => (kRun(nThreads), kRun(cpus)))
         val bN = ks.map(_._1).max
         val b4N = ks.map(_._2).max
-        Some((bN, b4N, (b4N / bN) / 4.0))
+        Some((bN, b4N, (b4N / bN) / (cpus.toDouble / nThreads)))
       } catch { case _: Throwable => None }
 
     // --- BENCH/BASELINE.md ---
@@ -420,9 +429,10 @@ separate JVMs are what a real N -> 4N cluster runs.
       md ++= f"""
 ## Scaling-residual attribution (pure kernel, no Spark)
 
-The same extraction kernel folded over the same turns by a plain fixed
-thread pool — no Spark, no parquet decode, no scheduler, no serde —
-measures $a%.0f turns/sec at ${cpus / 4} threads and $b%.0f at $cpus:
+The job's exact per-turn fold (ExtractStats.compute: UTF8 decode +
+tokenize + segment + metric fold, no output strings) run over the same
+turns by a plain fixed thread pool — no Spark, no parquet, no
+scheduler — measures $a%.0f turns/sec at ${cpus / 4} threads and $b%.0f at $cpus:
 efficiency $e%.3f. That is the HOST's N->4N envelope for this workload:
 all $cpus cores share one socket and one memory system (~87 GB/s
 measured allocation-write ceiling), so the last 4x of threads buys

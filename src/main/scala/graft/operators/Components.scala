@@ -34,19 +34,21 @@ import org.apache.spark.storage.StorageLevel
   * celebrity node (a boilerplate cluster hub) costs a skew-splittable
   * join, not a giant aggregation buffer (the same rule as
   * [[Dedup.collapse]]). Each round's edge set is persisted and the
-  * previous round's is unpersisted; convergence is detected by an exact
-  * (count, xxhash64-sum) fixpoint on the canonical edge set — a cheap
-  * aggregate on the already-cached frame, no driver collect.
+  * previous round's is unpersisted; convergence is a (count, xor-of-
+  * hashes) signature match — a cheap aggregate on the already-cached
+  * frame — CONFIRMED exactly by a set-diff of the two cached edge sets
+  * before the loop exits, so detection is exact, not probabilistic.
   */
 object Components {
 
   /** Connected components of an undirected pair graph.
     *
     * Input: a DataFrame with two long-castable id columns (self-loops
-    * ignored). Output: `(id, component)` for every node that appears in
-    * at least one pair, where `component` is the minimum id of the
-    * node's component (the usual canonical label — deterministic and
-    * stable under repartitioning).
+    * ignored — a node appearing ONLY in self-loop pairs has no edges and
+    * is absent from the output). Output: `(id, component)` for every
+    * node with at least one real (two-endpoint) pair, where `component`
+    * is the minimum id of the node's component (the usual canonical
+    * label — deterministic and stable under repartitioning).
     *
     * `maxRounds` bounds the alternation; on non-convergence the call
     * THROWS rather than returning a partially-contracted labeling
@@ -113,9 +115,15 @@ object Components {
 
       val nextSig = checksum(next)
       ls.unpersist()
+      // the (count, xor) signature is a filter, not the proof: on a
+      // signature match, confirm the fixpoint EXACTLY with a set-diff of
+      // the two cached frames (equal counts + empty except <=> equal
+      // sets). The except runs at most once per convergence, so the
+      // labeling can never be cut short by a 64-bit collision.
+      converged = nextSig == sig &&
+        next.exceptAll(edges).isEmpty
       edges.unpersist()
       edges = next
-      converged = nextSig == sig
       sig = nextSig
       round += 1
     }

@@ -126,8 +126,13 @@ object Similarity {
     */
   def listAssign(vecCol: Column, pivots: Array[Array[Double]]): Column = {
     val pl = array(pivots.map(p => array(p.map(lit): _*)): _*)
-    val dists = transform(pl, p => lit(1.0) - cosine(vecCol.cast("array<double>"), p))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    // both the vector and the distance array are bound once
+    // (Dedup.bindOnce): referencing either tree from inside a lambda /
+    // twice at top level would re-run the nlist-pivot cosine scan per
+    // reference
+    Dedup.bindOnce(vecCol.cast("array<double>"), v =>
+      Dedup.bindOnce(transform(pl, p => lit(1.0) - cosine(v, p)), dists =>
+        (array_position(dists, array_min(dists)) - 1).cast("int")))
   }
 
   /** Materialize the IVF index column. At scale, WRITE this partitioned
@@ -173,19 +178,36 @@ object Similarity {
     s
   }
 
-  /** Lloyd refinement of a pivot set: `iters` rounds of
-    * assign -> per-list dimension means. Each round is one
-    * map-side-combinable groupBy over (list, dim) rows — nlist x dim
-    * aggregate cells, collected to the driver (the pivot table's size,
-    * see [[samplePivots]]); empty lists keep their previous pivot.
-    * Kept separate from the query path: training cost is per-index, not
-    * per-query, and the sampled quantizer is often good enough.
+  /** SPHERICAL Lloyd refinement of a pivot set: `iters` rounds of
+    * assign -> per-list mean of the UNIT-normalized members, normalized
+    * back to the sphere. The spherical formulation is what carries the
+    * monotonicity guarantee for the cosine objective [[ivfInertia]]
+    * measures: assignment picks the max-cosine pivot, and the normalized
+    * mean-of-normalized-vectors is the exact maximizer of the per-list
+    * cosine sum for a fixed assignment (a plain Euclidean mean is not —
+    * near-antipodal members can drag it toward the origin with an
+    * arbitrary direction). Cosine is scale-invariant, so unit pivots
+    * assign identically to the raw sampled ones.
+    *
+    * Each round is one map-side-combinable groupBy over (list, dim)
+    * rows — nlist x dim aggregate cells, collected to the driver (the
+    * pivot table's size, see [[samplePivots]]); empty lists and
+    * degenerate (zero-sum) lists keep their previous pivot; zero-norm
+    * vectors are excluded from the update (their cosine is 0 to every
+    * pivot). Kept separate from the query path: training cost is
+    * per-index, not per-query, and the sampled quantizer is often good
+    * enough.
     */
   def kmeansRefine(df: DataFrame, vecCol: String,
                    pivots: Array[Array[Double]], iters: Int = 2): Array[Array[Double]] = {
     var ps = pivots
     for (_ <- 0 until iters) {
-      val means = ivfIndex(df.select(col(vecCol).cast("array<double>").as("_v")), "_v", "_v", ps)
+      val unit = df.select(col(vecCol).cast("array<double>").as("_raw"))
+        .filter(l2norm(col("_raw")) > 0)
+        .select(Dedup.bindOnce(col("_raw"), v =>
+          Dedup.bindOnce(l2norm(v), n =>
+            transform(v, x => x / n))).as("_v"))
+      val means = ivfIndex(unit, "_v", "_v", ps)
         .select(col("list_id"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos").agg(avg("x").as("m"))
         .collect()
@@ -193,7 +215,14 @@ object Similarity {
         .map { case (lid, rows) =>
           lid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
         }
-      ps = ps.indices.map(i => means.getOrElse(i, ps(i))).toArray
+      ps = ps.indices.map { i =>
+        means.get(i) match {
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n > 0) m.map(_ / n) else ps(i)
+          case None => ps(i)
+        }
+      }.toArray
     }
     ps
   }
