@@ -538,6 +538,20 @@ object SparkEntry {
       Components.dupGroups(pairs)
     }),
 
+    "q48_drop_near_dups" -> ((s, dir) => {
+      // the dedup pipeline END-TO-END: LSH candidate pairs -> exact
+      // verify -> transitive groups -> keep one doc per group (min id);
+      // docs in no pair pass through untouched
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail tokens")).as("text"))
+      val corpus = d.unionByName(mutated)
+      val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+        threshold = 0.5)
+      Components.dropNearDups(corpus, pairs, "doc_id").select("doc_id")
+    }),
+
     "q46_ivf_ann" -> ((s, dir) => {
       // IVF ANN: deterministic hash-sampled coarse quantizer (nlist=16),
       // probe the 4 inverted lists nearest the query (vec_id 0's
@@ -773,6 +787,40 @@ object SparkEntry {
            SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.id
          )
          SELECT id, min(r) AS group_id FROM reach GROUP BY id""",
+
+    // the q45 recursive closure, finished: drop every doc that is in a
+    // transitive group but is not its group minimum
+    "q48_drop_near_dups" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' extra tail tokens'
+           FROM documents WHERE doc_id < 50
+         ), sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+                 FROM corpus) t
+           WHERE len(w) >= 3
+         ), pairs AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         ), edges AS (
+           SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+         ), reach(id, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.u, t.r FROM edges e JOIN reach t ON e.v = t.id
+         ), labels AS (
+           SELECT id, min(r) AS group_id FROM reach GROUP BY id
+         )
+         SELECT doc_id FROM corpus
+         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
 
     // IVF mirrored end-to-end in SQL: same hash-order pivot sample, same
     // argmin assignment (ties -> lowest pivot index), same 4-of-16 probe
