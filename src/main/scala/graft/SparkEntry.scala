@@ -552,6 +552,25 @@ object SparkEntry {
       Components.dropNearDups(corpus, pairs, "doc_id").select("doc_id")
     }),
 
+    "q49_pack_sequences" -> ((s, dir) => {
+      // deterministic training-window packing by cumulative token count
+      // (global-order oracled form; packSequencesBy is the scale form)
+      val counted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      operators.Curation.packSequences(counted, col("n_tokens"),
+        "doc_id", 512)
+    }),
+
+    "q50_unigram_logprob" -> ((s, dir) =>
+      // MassiveText-style unigram quality stat: mean ln p(token) under
+      // the corpus's own top-4096 unigram distribution, OOV floored
+      operators.Curation.unigramLogProb(
+          t(s, dir, "documents"), "text", "doc_id", vocab = 4096)
+        .select(col("doc_id"), round(col("logprob"), 6).as("logprob"),
+          col("n_tokens"))),
+
     "q46_ivf_ann" -> ((s, dir) => {
       // IVF ANN: deterministic hash-sampled coarse quantizer (nlist=16),
       // probe the 4 inverted lists nearest the query (vec_id 0's
@@ -821,6 +840,39 @@ object SparkEntry {
          )
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
+
+    // the q34 whitespace token count feeding the same prefix-sum window
+    // arithmetic
+    "q49_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+           CAST(floor(cum0 / 512) AS BIGINT) AS pack_id,
+           CAST(cum0 % 512 AS BIGINT) AS pack_offset
+         FROM (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+           FROM (SELECT doc_id,
+                   CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+                     ELSE len(string_split_regex(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+                 FROM documents))""",
+
+    // the same normalization as the q20 shingle prep; corpus-derived
+    // top-V unigram probabilities with the 1/total OOV floor
+    "q50_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           FROM documents
+         ), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         counts AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+         total AS (SELECT sum(c) AS n FROM counts),
+         vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 4096)
+         SELECT doc_id,
+           round(avg(ln(coalesce(v.c, 1)::DOUBLE / (SELECT n FROM total))), 6) AS logprob,
+           count(*) AS n_tokens
+         FROM t2 LEFT JOIN vocab v USING (tok)
+         GROUP BY doc_id""",
 
     // IVF mirrored end-to-end in SQL: same hash-order pivot sample, same
     // argmin assignment (ties -> lowest pivot index), same 4-of-16 probe

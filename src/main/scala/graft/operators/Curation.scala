@@ -98,6 +98,95 @@ object Curation {
     df.join(keep, Seq(stratumCol, keyCol), "left_semi")
   }
 
+  // ---------- sequence packing ----------
+
+  /** Deterministic contiguous sequence packing: each doc is assigned to
+    * the fixed-size training window its cumulative token offset starts
+    * in — `pack_id = floor(cum_before / window)`, `pack_offset =
+    * cum_before % window` (a doc may straddle its window's end; the
+    * consumer splits or pads, this operator pins the reproducible
+    * layout). This GLOBAL-order form runs one total sort (a single-task
+    * window) — it is the oracled, test-scale form. At corpus scale use
+    * [[packSequencesBy]]: per-stratum packing under
+    * `Window.partitionBy`, which shuffles once on the stratum key and
+    * packs each stratum independently (pack identity = (stratum,
+    * pack_id)) — the layout a sharded training job reads anyway.
+    */
+  def packSequences(df: DataFrame, countCol: Column, orderCol: String,
+                    window: Int): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum0", coalesce(sum(countCol).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("_cum0") / window))
+      .withColumn("pack_offset", col("_cum0") % window)
+      .drop("_cum0")
+  }
+
+  /** Per-stratum packing (the scale form of [[packSequences]]): the
+    * window runs over a NARROW (stratum, order, count) projection — the
+    * stratifiedTake discipline — and the payload rejoins on the
+    * (stratum, order) key, so the per-stratum exchange ships ~30-byte
+    * rows, never the text.
+    */
+  def packSequencesBy(df: DataFrame, countCol: Column, stratumCol: String,
+                      orderCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = df.select(col(stratumCol), col(orderCol),
+        countCol.as("_n"))
+      .withColumn("_cum0", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(col(stratumCol), col(orderCol),
+        floor(col("_cum0") / window).as("pack_id"),
+        (col("_cum0") % window).as("pack_offset"))
+    df.join(packed, Seq(stratumCol, orderCol))
+  }
+
+  // ---------- unigram quality scoring ----------
+
+  /** Unigram log-probability quality score (the MassiveText-style
+    * statistic): per doc, the mean natural log of each token's
+    * probability under the corpus's own top-`vocab` unigram
+    * distribution; out-of-vocabulary tokens get the floor probability
+    * `1/total_tokens`. Low scores flag token-soup/degenerate docs; high
+    * scores flag stopword-only boilerplate. Docs with zero tokens are
+    * absent from the output.
+    *
+    * Scale shape: token counts are one map-side-combinable shuffle; the
+    * top-V vocabulary is a TakeOrdered (driver-sized BY DESIGN — V is a
+    * model hyperparameter, not corpus-scaled) re-broadcast to the
+    * scoring join, which therefore stays map-side; the per-doc average
+    * partial-aggregates before its shuffle (explode preserves row
+    * locality, so a doc's tokens collapse to one partial in its source
+    * partition). Two jobs total (the corpus token total is a scalar
+    * consumed by the probability floor).
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                     vocab: Int = 4096): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(TextStats.normalize(col(textCol)), " ")).as("_tok"))
+      .filter(col("_tok") =!= "")
+    val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
+    val result =
+      if (total == 0L) {
+        df.sparkSession.emptyDataFrame
+          .select(lit(0L).as(idCol), lit(0.0).as("logprob"),
+            lit(0L).as("n_tokens")).limit(0)
+      } else {
+        val vocabDf = counts.orderBy(col("_c").desc, col("_tok"))
+          .limit(vocab)
+          .select(col("_tok"), (col("_c").cast("double") / total).as("_p"))
+        toks.join(broadcast(vocabDf), Seq("_tok"), "left")
+          .select(col(idCol),
+            coalesce(col("_p"), lit(1.0 / total)).as("_p"))
+          .groupBy(idCol)
+          .agg(avg(log(col("_p"))).as("logprob"),
+            count(lit(1)).as("n_tokens"))
+      }
+    result
+  }
+
   // ---------- PII scrubbing ----------
 
   /** Scrub patterns, applied IN ORDER (URLs first, so an address inside

@@ -95,6 +95,53 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences chunks by cumulative count; straddlers keep their start window") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 50L), (4L, 500L))
+      .toDF("doc_id", "n")
+    val got = Curation.packSequences(df, col("n"), "doc_id", 512)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // cum0: 0, 300, 600, 650
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 300L),
+      (3L, 1L, 88L), (4L, 1L, 138L)))
+  }
+
+  test("packSequencesBy packs each stratum independently over a narrow window") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("en", 1L, 400L, "pay"), ("en", 2L, 400L, "load"),
+      ("ru", 1L, 400L, "pay"), ("ru", 2L, 200L, "load"))
+      .toDF("lang", "doc_id", "n", "payload")
+    val got = Curation.packSequencesBy(df, col("n"), "lang", "doc_id", 512)
+    val m = got.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    assert(m(("en", 1L)) == ((0L, 0L)) && m(("en", 2L)) == ((0L, 400L)))
+    assert(m(("ru", 2L)) == ((0L, 400L))) // ru cum independent of en
+    // the window ranks a narrow projection, never the payload
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = got.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    for (w <- wins) assert(!w.child.output.map(_.name).contains("payload"))
+  }
+
+  test("unigramLogProb: corpus-derived probs, OOV floor, zero-token docs absent") {
+    val got = Curation.unigramLogProb(docs(
+        1L -> "a a b", 2L -> "a zzz", 3L -> "   "),
+        "text", "doc_id", vocab = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // counts: a=3, b=1, zzz=1; total=5; vocab(top2 by count desc, tok)=
+    // {a:0.6, b:0.2}; OOV floor 1/5
+    val d1 = (2 * math.log(0.6) + math.log(0.2)) / 3
+    val d2 = (math.log(0.6) + math.log(0.2)) / 2
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(got(0)._2 - d1) < 1e-12 && got(0)._3 == 3L)
+    assert(math.abs(got(1)._2 - d2) < 1e-12 && got(1)._3 == 2L)
+  }
+
   test("scrubPii masks each class and leaves prose untouched") {
     val got = docs(1L ->
       ("write to bob.smith+x@corp.example.co.uk or see " +
