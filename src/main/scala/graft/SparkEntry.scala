@@ -524,32 +524,36 @@ object SparkEntry {
     }),
 
     "q45_dup_groups" -> ((s, dir) => {
-      // transitive closure of the q20 near-dup pairs: alternating
-      // large-star/small-star connected components label every
-      // duplicated doc with its group minimum — the stage that turns
-      // verified PAIRS into droppable GROUPS (A~B, B~C => {A,B,C} even
-      // when (A,C) itself fell below threshold)
+      // transitive near-dup group labeling: alternating large-star/
+      // small-star connected components over VERIFIED REPRESENTATIVE
+      // pairs, exact-group members attached by one mapping join — the
+      // stage that turns verified similarity into droppable GROUPS
+      // (A~B, B~C => {A,B,C} even when (A,C) itself fell below
+      // threshold) without the quadratic member-pair expansion
+      // (equivalence with the pair-based construction pinned by
+      // ComponentsSpec)
       val d = t(s, dir, "documents").select("doc_id", "text")
       val mutated = d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra tail tokens")).as("text"))
-      val pairs = Dedup.minhashNearDups(d.unionByName(mutated), "text",
+      Dedup.minhashNearDupGroups(d.unionByName(mutated), "text",
         "doc_id", threshold = 0.5)
-      Components.dupGroups(pairs)
     }),
 
     "q48_drop_near_dups" -> ((s, dir) => {
-      // the dedup pipeline END-TO-END: LSH candidate pairs -> exact
-      // verify -> transitive groups -> keep one doc per group (min id);
-      // docs in no pair pass through untouched
+      // the dedup pipeline END-TO-END: LSH candidates -> exact verify ->
+      // rep-level transitive groups -> keep one doc per group (min id);
+      // docs in no group pass through untouched
       val d = t(s, dir, "documents").select("doc_id", "text")
       val mutated = d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra tail tokens")).as("text"))
       val corpus = d.unionByName(mutated)
-      val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
-        threshold = 0.5)
-      Components.dropNearDups(corpus, pairs, "doc_id").select("doc_id")
+      val drop = Dedup.minhashNearDupGroups(corpus, "text", "doc_id",
+          threshold = 0.5)
+        .filter(col("id") =!= col("group_id"))
+        .select(col("id").as("doc_id"))
+      corpus.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
     }),
 
     "q49_pack_sequences" -> ((s, dir) => {

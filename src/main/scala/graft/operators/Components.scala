@@ -88,10 +88,14 @@ object Components {
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
       val lsMins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // NOT distinct'ed: ls has exactly one row per undirected edge (one
+      // per (u,v) with v > u), so there is no inflation to collapse —
+      // small-star's min is duplicate-insensitive and the round's final
+      // distinct canonicalizes. Skipping the dedup saves a full shuffle
+      // per round.
       val ls = sym.join(lsMins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // small-star: m(u) = min over u's SMALLER neighbors (and u); u and

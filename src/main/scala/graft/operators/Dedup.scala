@@ -364,6 +364,80 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 64,
       statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, reps, verified) = minhashRepPairs(df, textCol, idCol,
+      shingleK, numHashes, bands, threshold, maxBucket, statsObs)
+    // expansion: member pairs + internal pairs of exact groups
+    //    (eligible = groups whose text yields >=1 shingle, matching the
+    //    banding-stage gate; identical texts have Jaccard exactly 1.0).
+    //    Skipped entirely when the corpus had no exact duplicates.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val eligible = reps
+          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
+          .select(col("id").as("rep"))
+        val internal = expandInternal(mapping, eligible)
+          .withColumn("jaccard", lit(1.0))
+        expandCross(verified, mapping, "jaccard").unionByName(internal)
+    }
+  }
+
+  /** Transitive near-dup GROUP labeling `(id, group_id)` WITHOUT the
+    * quadratic member-pair expansion: connected components run over the
+    * verified REPRESENTATIVE pairs only, and exact-group members attach
+    * by one (broadcast-sized) mapping join afterwards. The pair surface
+    * ([[minhashNearDups]]) is inherently quadratic in exact-cluster
+    * size (a 10^4-member boilerplate cluster IS ~5*10^7 pairs); group
+    * labeling never needs those pairs — a member's group is its rep's
+    * component, and the component minimum over members equals the
+    * minimum over reps (each rep is already its group's min id). Output
+    * is row-for-row identical to
+    * `Components.dupGroups(minhashNearDups(...))` (pinned by
+    * OperatorSpec) at O(reps + dup members) instead of
+    * O(sum cluster^2).
+    */
+  def minhashNearDupGroups(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 64,
+      statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, reps, verified) = minhashRepPairs(df, textCol, idCol,
+      shingleK, numHashes, bands, threshold, maxBucket, statsObs)
+    val repLabels = Components.connectedComponents(
+      verified.select("id_a", "id_b"))
+    collapsed.dupMapping match {
+      case None =>
+        repLabels.select(col("id"), col("component").as("group_id"))
+      case Some(mapping) =>
+        val eligible = reps
+          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
+          .select(col("id").as("rep"))
+        // members of eligible exact multi-groups: the rep's component
+        // when the rep is near-dup-paired, else the rep id (the group's
+        // own minimum — these groups are dup groups by themselves)
+        val memberLabels = mapping
+          .join(eligible, Seq("rep"), "left_semi")
+          .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("rep")).as("group_id"))
+        // paired reps whose exact group is a singleton (not in mapping)
+        val singlePaired = repLabels
+          .join(mapping.select(col("rep").as("id")).distinct(),
+            Seq("id"), "left_anti")
+          .select(col("id"), col("component").as("group_id"))
+        memberLabels.unionByName(singlePaired)
+    }
+  }
+
+  /** Shared front of the MinHash pipeline: collapse -> band -> bounded
+    * candidate pairs -> exact-Jaccard verify at REPRESENTATIVE level.
+    * Returns (collapsed, reps(id, text), verified(id_a, id_b, jaccard)).
+    */
+  private def minhashRepPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int,
+      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
@@ -407,20 +481,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-    // 5. expansion: member pairs + internal pairs of exact groups
-    //    (eligible = groups whose text yields >=1 shingle, matching the
-    //    banding-stage gate; identical texts have Jaccard exactly 1.0).
-    //    Skipped entirely when the corpus had no exact duplicates.
-    collapsed.dupMapping match {
-      case None => verified
-      case Some(mapping) =>
-        val eligible = reps
-          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
-          .select(col("id").as("rep"))
-        val internal = expandInternal(mapping, eligible)
-          .withColumn("jaccard", lit(1.0))
-        expandCross(verified, mapping, "jaccard").unionByName(internal)
-    }
+    (collapsed, reps, verified)
   }
 
   // ---------- SimHash ----------

@@ -66,6 +66,33 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashNearDupGroups == dupGroups(minhashNearDups) without the pair expansion") {
+    val s = spark
+    import s.implicits._
+    // near-dup family (a~b~c by tail mutation), exact-dup cluster
+    // (d1=d2=d3), a singleton, and an empty doc
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      1L -> base,
+      2L -> (base + " tail"),
+      3L -> (base + " tail two"),
+      10L -> "completely different text about cooking pasta tonight ok",
+      11L -> "completely different text about cooking pasta tonight ok",
+      12L -> "completely different text about cooking pasta tonight ok",
+      20L -> "a singleton document that matches nothing else here at all",
+      30L -> "  ").toDF("doc_id", "text")
+    val viaPairs = Components.dupGroups(
+        Dedup.minhashNearDups(corpus, "text", "doc_id", threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashNearDupGroups(corpus, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == viaPairs)
+    // sanity on content: the exact cluster labels to its min
+    assert(direct.contains((11L, 10L)) && direct.contains((12L, 10L)))
+    assert(!direct.exists(_._1 == 20L) && !direct.exists(_._1 == 30L))
+  }
+
   test("dropNearDups keeps one per transitive group plus untouched rows") {
     val s = spark
     import s.implicits._
