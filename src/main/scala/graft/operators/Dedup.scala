@@ -403,24 +403,32 @@ object Dedup {
       statsObs: Option[Observation] = None): DataFrame = {
     val (collapsed, reps, verified) = minhashRepPairs(df, textCol, idCol,
       shingleK, numHashes, bands, threshold, maxBucket, statsObs)
-    val repLabels = Components.connectedComponents(
-      verified.select("id_a", "id_b"))
+    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
+      reps.filter(size(wordShingles(col("text"), shingleK)) >= 1)
+        .select(col("id").as("rep")))
+  }
+
+  /** Shared labeling tail for every near-dup `*Groups` variant:
+    * connected components over the verified representative pairs, then
+    * exact-group members attach through the dup-only mapping (the rep's
+    * component when the rep is paired, else the rep id — such groups
+    * are dup groups by themselves). `eligibleReps` is the family's
+    * internal-pair gate (single `rep` column): exact groups excluded by
+    * it (e.g. shingle-less texts, zero vectors) contribute no labels,
+    * matching the pair surface's expansion semantics exactly.
+    */
+  private[operators] def groupsFromRepPairs(collapsed: Collapsed,
+      repPairs: DataFrame, eligibleReps: DataFrame): DataFrame = {
+    val repLabels = Components.connectedComponents(repPairs)
     collapsed.dupMapping match {
       case None =>
         repLabels.select(col("id"), col("component").as("group_id"))
       case Some(mapping) =>
-        val eligible = reps
-          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
-          .select(col("id").as("rep"))
-        // members of eligible exact multi-groups: the rep's component
-        // when the rep is near-dup-paired, else the rep id (the group's
-        // own minimum — these groups are dup groups by themselves)
         val memberLabels = mapping
-          .join(eligible, Seq("rep"), "left_semi")
+          .join(eligibleReps, Seq("rep"), "left_semi")
           .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
           .select(col("id"),
             coalesce(col("component"), col("rep")).as("group_id"))
-        // paired reps whose exact group is a singleton (not in mapping)
         val singlePaired = repLabels
           .join(mapping.select(col("rep").as("id")).distinct(),
             Seq("id"), "left_anti")
@@ -555,6 +563,44 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64,
                       statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, _, verified) =
+      simhashRepPairs(df, textCol, idCol, maxHamming, maxBucket, statsObs)
+    // expansion: cross pairs inherit the reps' hamming exactly (identical
+    // sig); internal pairs of a sig group have hamming 0. Skipped when no
+    // two docs share a signature.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val internal = expandInternal(mapping,
+            collapsed.reps.select(col("id").as("rep")))
+          .withColumn("hamming", lit(0))
+        expandCross(verified, mapping, "hamming").unionByName(internal)
+    }
+  }
+
+  /** Transitive SimHash GROUP labeling `(id, group_id)` — the
+    * [[minhashNearDupGroups]] construction for the signature leg:
+    * connected components over verified representative pairs plus one
+    * mapping join, never the quadratic member-pair expansion. Every
+    * exact signature group is internally eligible (hamming 0).
+    */
+  def simhashNearDupGroups(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3, maxBucket: Int = 64,
+                           statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, reps, verified) =
+      simhashRepPairs(df, textCol, idCol, maxHamming, maxBucket, statsObs)
+    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
+      reps.select(col("id").as("rep")))
+  }
+
+  /** Shared front of the SimHash pipeline: signature map -> exact
+    * collapse -> chunk-pair keys -> bounded candidate pairs -> exact
+    * hamming verify at REPRESENTATIVE level. Returns
+    * (collapsed, reps(id, sig), verified(id_a, id_b, hamming)).
+    */
+  private def simhashRepPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int, maxBucket: Int,
+      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       "chunk-pair keying guarantees recall only for hamming <= 3 " +
         "(5 chunks - maxHamming flipped must leave >= 2 clean)")
@@ -593,17 +639,6 @@ object Dedup {
         bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-
-    // expansion: cross pairs inherit the reps' hamming exactly (identical
-    // sig); internal pairs of a sig group have hamming 0. Skipped when no
-    // two docs share a signature.
-    collapsed.dupMapping match {
-      case None => verified
-      case Some(mapping) =>
-        val internal = expandInternal(mapping,
-            reps.select(col("id").as("rep")))
-          .withColumn("hamming", lit(0))
-        expandCross(verified, mapping, "hamming").unionByName(internal)
-    }
+    (collapsed, reps, verified)
   }
 }

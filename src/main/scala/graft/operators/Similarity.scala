@@ -267,6 +267,48 @@ object Similarity {
                      tables: Int = 4, maxBucket: Int = 256,
                      seed: Long = 7L,
                      statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, reps, verified) = cosineRepPairs(df, vecCol, idCol,
+      threshold, bits, tables, maxBucket, seed, statsObs)
+    // expansion: cross pairs inherit the reps' cosine exactly (identical
+    // vectors); internal pairs of a non-zero vector group have cosine 1.
+    // Skipped when no two vectors are byte-identical.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val eligible = reps.filter(l2norm(col("v")) > 0)
+          .select(col("id").as("rep"))
+        val internal = Dedup.expandInternal(mapping, eligible)
+          .withColumn("cos", lit(1.0))
+        Dedup.expandCross(verified, mapping, "cos").unionByName(internal)
+    }
+  }
+
+  /** Transitive embedding-cosine GROUP labeling `(id, group_id)` — the
+    * [[Dedup.minhashNearDupGroups]] construction for the vector leg:
+    * connected components over verified representative pairs plus one
+    * mapping join, never the quadratic member-pair expansion. Zero
+    * vectors are ineligible for internal groups (their cosine is 0 to
+    * everything, matching the pair surface).
+    */
+  def cosineNearDupGroups(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double = 0.95, bits: Int = 0,
+                          tables: Int = 4, maxBucket: Int = 256,
+                          seed: Long = 7L,
+                          statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, reps, verified) = cosineRepPairs(df, vecCol, idCol,
+      threshold, bits, tables, maxBucket, seed, statsObs)
+    Dedup.groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
+      reps.filter(l2norm(col("v")) > 0).select(col("id").as("rep")))
+  }
+
+  /** Shared front of the embedding pipeline: collapse -> multi-table
+    * sign-pattern keys -> bounded candidate pairs -> exact cosine verify
+    * at REPRESENTATIVE level. Returns (collapsed, reps(id, v),
+    * verified(id_a, id_b, cos)).
+    */
+  private def cosineRepPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, bits: Int, tables: Int, maxBucket: Int,
+      seed: Long, statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame) = {
     require(bits <= 32, "bits must fit the per-table key")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -298,18 +340,6 @@ object Similarity {
       .withColumn("cos", round(cosine(col("_v_a"), col("_v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-
-    // expansion: cross pairs inherit the reps' cosine exactly (identical
-    // vectors); internal pairs of a non-zero vector group have cosine 1.
-    // Skipped when no two vectors are byte-identical.
-    collapsed.dupMapping match {
-      case None => verified
-      case Some(mapping) =>
-        val eligible = reps.filter(l2norm(col("v")) > 0)
-          .select(col("id").as("rep"))
-        val internal = Dedup.expandInternal(mapping, eligible)
-          .withColumn("cos", lit(1.0))
-        Dedup.expandCross(verified, mapping, "cos").unionByName(internal)
-    }
+    (collapsed, reps, verified)
   }
 }

@@ -87,6 +87,58 @@ object Winnow {
                              minShared: Int = 2,
                              maxBucket: Int = 64,
                              statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, fps, verified) =
+      winnowRepPairs(df, textCol, idCol, k, w, minShared, maxBucket, statsObs)
+
+    // expansion (see scaladoc): internal groups qualify iff their
+    // fingerprint count reaches minShared. mapping is DUP-ONLY
+    // (Dedup.collapse), so singleton docs never enter the self-join
+    // (VERDICT r02 #6) and the whole branch is skipped without dups.
+    collapsed.dupMapping match {
+      case None => verified
+      case Some(mapping) =>
+        val eligible = fps.select(col("id").as("rep"), col("nfp"))
+          .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
+          .filter(col("_gn") >= minShared)
+        val members = mapping.join(eligible, "rep")
+        val internal = members
+          .select(col("rep"), col("_gn"), col("id").as("id_a"))
+          .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("_gn").as("n_shared"))
+        Dedup.expandCross(verified, mapping, "n_shared").unionByName(internal)
+    }
+  }
+
+  /** Transitive winnowing GROUP labeling `(id, group_id)` — the
+    * [[Dedup.minhashNearDupGroups]] construction for the fingerprint
+    * leg: connected components over verified representative pairs plus
+    * one mapping join, never the quadratic member-pair expansion.
+    * Internal-group eligibility matches [[sharedFingerprintPairs]]:
+    * exact groups whose fingerprint count reaches `minShared`.
+    */
+  def sharedFingerprintGroups(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 8, w: Int = 16,
+                              minShared: Int = 2,
+                              maxBucket: Int = 64,
+                              statsObs: Option[Observation] = None): DataFrame = {
+    val (collapsed, fps, verified) =
+      winnowRepPairs(df, textCol, idCol, k, w, minShared, maxBucket, statsObs)
+    val eligible = fps.select(col("id").as("rep"), col("nfp"))
+      .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
+      .filter(col("_gn") >= minShared)
+      .select("rep")
+    Dedup.groupsFromRepPairs(collapsed,
+      verified.select("id_a", "id_b"), eligible)
+  }
+
+  /** Shared front: collapse -> fingerprint emission -> bounded buckets
+    * -> co-occurrence-counted pairs at REPRESENTATIVE level. Returns
+    * (collapsed, fps(id, fp, nfp), verified(id_a, id_b, n_shared)).
+    */
+  private def winnowRepPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Int, maxBucket: Int,
+      statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -120,24 +172,6 @@ object Winnow {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-
-    // expansion (see scaladoc): internal groups qualify iff their
-    // fingerprint count reaches minShared. mapping is DUP-ONLY
-    // (Dedup.collapse), so singleton docs never enter the self-join
-    // (VERDICT r02 #6) and the whole branch is skipped without dups.
-    collapsed.dupMapping match {
-      case None => verified
-      case Some(mapping) =>
-        val eligible = fps.select(col("id").as("rep"), col("nfp"))
-          .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
-          .filter(col("_gn") >= minShared)
-        val members = mapping.join(eligible, "rep")
-        val internal = members
-          .select(col("rep"), col("_gn"), col("id").as("id_a"))
-          .join(members.select(col("rep"), col("id").as("id_b")), "rep")
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("_gn").as("n_shared"))
-        Dedup.expandCross(verified, mapping, "n_shared").unionByName(internal)
-    }
+    (collapsed, fps, verified)
   }
 }

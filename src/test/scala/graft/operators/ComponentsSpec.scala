@@ -93,6 +93,62 @@ class ComponentsSpec extends AnyFunSuite {
     assert(!direct.exists(_._1 == 20L) && !direct.exists(_._1 == 30L))
   }
 
+  test("cosineNearDupGroups == dupGroups(cosineNearDups) for the vector leg") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Double], eps: Double) =
+      base.map(_ + rnd.nextGaussian() * eps).toSeq
+    val a = Array(1.0, 0.2, -0.3, 0.5)
+    val b = Array(-0.8, 0.9, 0.1, 0.0)
+    val corpus = (
+      Seq(1L -> a.toSeq, 2L -> a.toSeq, 3L -> a.toSeq) ++ // exact cluster
+        Seq(4L -> jitter(a, 1e-4), 5L -> jitter(a, 1e-4)) ++ // near a
+        Seq(10L -> b.toSeq, 11L -> jitter(b, 1e-4)) ++
+        Seq(20L -> Seq(0.0, 0.0, 0.0, 0.0)) ++ // zero vector
+        Seq(30L -> Seq(0.0, 0.0, 1.0, 0.0)) // singleton
+      ).toDF("vec_id", "embedding")
+    val viaPairs = Components.dupGroups(
+        Similarity.cosineNearDups(corpus, "embedding", "vec_id",
+          threshold = 0.999, bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.cosineNearDupGroups(corpus, "embedding", "vec_id",
+        threshold = 0.999, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == viaPairs)
+    assert(direct.contains((2L, 1L)) && direct.contains((3L, 1L)))
+    assert(!direct.exists(_._1 == 20L) && !direct.exists(_._1 == 30L))
+  }
+
+  test("simhash and winnow group variants match their pair-based constructions") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the warm windowsill nearby"
+    val corpus = Seq(
+      1L -> base,
+      2L -> (base + " tail"),
+      3L -> base, // exact dup of 1
+      10L -> "completely unrelated text about cooking pasta with basil tonight ok then",
+      20L -> base.replace("dog", "wolf")).toDF("doc_id", "text")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val simViaPairs = labels(Components.dupGroups(
+      Dedup.simhashNearDups(corpus, "text", "doc_id")))
+    val simDirect = labels(
+      Dedup.simhashNearDupGroups(corpus, "text", "doc_id"))
+    assert(simDirect == simViaPairs)
+    assert(simDirect.contains((3L, 1L)))
+
+    val winViaPairs = labels(Components.dupGroups(
+      Winnow.sharedFingerprintPairs(corpus, "text", "doc_id")))
+    val winDirect = labels(
+      Winnow.sharedFingerprintGroups(corpus, "text", "doc_id"))
+    assert(winDirect == winViaPairs)
+    assert(winDirect.contains((3L, 1L)))
+  }
+
   test("dropNearDups keeps one per transitive group plus untouched rows") {
     val s = spark
     import s.implicits._
