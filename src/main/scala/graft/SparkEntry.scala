@@ -556,6 +556,18 @@ object SparkEntry {
       corpus.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
     }),
 
+    "q51_repeated_windows" -> ((s, dir) => {
+      // substring-level dup detection (Lee et al. ACL'22 reporting
+      // half): positional 8-gram windows occurring in >1 document
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("prefix words then "), col("text")).as("text"))
+      Dedup.crossDocRepeatedWindows(d.unionByName(mutated), "text",
+          "doc_id", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q49_pack_sequences" -> ((s, dir) => {
       // deterministic training-window packing by cumulative token count
       // (global-order oracled form; packSequencesBy is the scale form)
@@ -844,6 +856,34 @@ object SparkEntry {
          )
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
+
+    // non-distinct positional 8-gram windows (the q20 tokenization),
+    // md5-keyed; a window is cross-doc when its key lands in >= 2 docs
+    "q51_repeated_windows" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'prefix words then ' || text
+           FROM documents WHERE doc_id < 50
+         ), w AS (
+           SELECT doc_id, md5(g) AS wk FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 6, 1)),
+               i -> array_to_string(t[i:i+7], ' '))) AS g
+             FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                   FROM corpus)
+             WHERE len(t) >= 8)
+         ), pdk AS (
+           SELECT doc_id, wk, count(*) AS m FROM w GROUP BY doc_id, wk
+         ), ck AS (
+           SELECT wk FROM pdk GROUP BY wk HAVING count(*) >= 2
+         )
+         SELECT p.doc_id, CAST(sum(p.m) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN c.wk IS NOT NULL THEN p.m ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+         FROM pdk p LEFT JOIN ck c USING (wk)
+         GROUP BY p.doc_id""",
 
     // the q34 whitespace token count feeding the same prefix-sum window
     // arithmetic

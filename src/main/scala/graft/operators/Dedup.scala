@@ -214,6 +214,45 @@ object Dedup {
     repPairs.unionByName(dupPairs)
   }
 
+  // ---------- cross-document repeated windows ----------
+
+  /** Cross-document repeated-window report — the detection half of
+    * substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): per document, how many of
+    * its positional word `n`-gram windows also occur in at least one
+    * OTHER document. High `n_dup_windows / n_windows` flags boilerplate
+    * spans duplicated across the corpus even when whole-document
+    * similarity is far below any near-dup threshold. Documents with
+    * fewer than `n` tokens have no windows and are absent.
+    *
+    * Scale shape: windows travel as (id, md5-key) rows only; the
+    * (doc, key) multiplicity aggregate and the key-frequency aggregate
+    * are both map-side combinable; the cross-doc key set joins back as
+    * a semi-join whose aggregated side has one row per key, so a
+    * boilerplate key shared by millions of docs is AQE-skew-splittable
+    * (the [[collapse]] argument). The (doc, key) frame is persisted
+    * across its three scans.
+    */
+  def crossDocRepeatedWindows(df: DataFrame, textCol: String,
+                              idCol: String, n: Int = 8): DataFrame = {
+    val wins = df.select(col(idCol).cast("long").as("id"),
+        explode(Curation.wordNgrams(col(textCol), n)).as("_w"))
+      .select(col("id"), md5(col("_w")).as("_wk"))
+    val perDocKey = wins.groupBy("id", "_wk")
+      .agg(count(lit(1)).as("_m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossKeys = perDocKey.groupBy("_wk")
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_wk")
+    val totals = perDocKey.groupBy("id").agg(sum("_m").as("n_windows"))
+    val dups = perDocKey.join(crossKeys, Seq("_wk"), "left_semi")
+      .groupBy("id").agg(sum("_m").as("n_dup_windows"))
+    totals.join(dups, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   // ---------- shingles / jaccard ----------
 
   /** Evaluate `c` ONCE and pass the value to `f` as a bound lambda

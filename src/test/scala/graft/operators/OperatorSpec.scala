@@ -369,4 +369,26 @@ class OperatorSpec extends AnyFunSuite {
       s"capped fraction ${dropped.toDouble / n} exceeds 5% per table " +
         s"(oversized=${m("n_oversized_buckets")} of ${m("n_buckets")})")
   }
+
+  test("crossDocRepeatedWindows counts shared positional windows only") {
+    // doc 2 embeds doc 1's first 5 tokens verbatim; doc 3 is disjoint;
+    // doc 4 repeats one of ITS OWN windows twice (not cross-doc)
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "prefix words alpha beta gamma delta epsilon something else",
+      3L -> "one two three four five six seven",
+      4L -> "x y z w x y z w x y z w")
+    val got = Dedup.crossDocRepeatedWindows(d, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: windows 2 ("a b g d e", "b g d e z"); the first also occurs
+    // in doc2 => 1 dup window. doc2: 5 windows, 1 shared. doc3: 3, 0.
+    // doc4: 8 windows, all self-repeats, 0 cross-doc.
+    assert(got(1L) == ((2L, 1L)), got.toString)
+    assert(got(2L) == ((5L, 1L)))
+    assert(got(3L) == ((3L, 0L)))
+    assert(got(4L) == ((8L, 0L)))
+    // a doc under n tokens is absent
+    assert(!Dedup.crossDocRepeatedWindows(docs(9L -> "too short"),
+      "text", "doc_id", n = 5).collect().map(_.getLong(0)).contains(9L))
+  }
 }
