@@ -556,6 +556,15 @@ object SparkEntry {
       corpus.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
     }),
 
+    "q52_mixture_sample" -> ((s, dir) =>
+      // training-mixture weights per source: en at 0.5, zh at 1.0, de
+      // at 0.25, everything unlisted dropped — a pushable shuffle-free
+      // filter, content-stable across runs/engines
+      operators.Curation.mixtureSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          col("doc_id"), "lang",
+          Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25))),
+
     "q51_repeated_windows" -> ((s, dir) => {
       // substring-level dup detection (Lee et al. ACL'22 reporting
       // half): positional 8-gram windows occurring in >1 document
@@ -856,6 +865,18 @@ object SparkEntry {
          )
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
+
+    // per-stratum md5 thresholds: floor(f * 16^8) as 8 lowercase hex
+    // digits (0.5 -> 80000000, 0.25 -> 40000000; 1.0 keeps all)
+    "q52_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (lang = 'zh')
+            OR (lang = 'en' AND
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+                  < '80000000')
+            OR (lang = 'de' AND
+                substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)
+                  < '40000000')""",
 
     // non-distinct positional 8-gram windows (the q20 tokenization),
     // md5-keyed; a window is cross-doc when its key lands in >= 2 docs

@@ -77,6 +77,34 @@ object Curation {
       substring(md5(concat(keyCol.cast("string"), lit(salt))), 1,
         hexThreshold.length) < lit(hexThreshold))
 
+  /** Weighted corpus-mixture sampling: keep each stratum (source,
+    * language, domain...) at its own fraction — the training-mixture
+    * primitive ("sample CommonCrawl at 0.3, books at 1.0"). Same
+    * discipline as [[hashSample]]: content-stable md5 order against a
+    * per-stratum 8-hex-digit threshold (`floor(fraction * 16^8)`), so
+    * the decision is a pushable, shuffle-free filter reproducible
+    * across runs, partitionings and engines. Strata absent from
+    * `fractions` are DROPPED (an unlisted source is an unsampled
+    * source). Threshold granularity is 1/2^32 — below that a fraction
+    * rounds to 0.
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, stratumCol: String,
+                    fractions: Map[String, Double],
+                    salt: String = "graft"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val h = substring(md5(concat(keyCol.cast("string"), lit(salt))), 1, 8)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      // f = 1 must keep everything: its 0x100000000 threshold is 9 hex
+      // digits, which string-compares BELOW "f..." — special-case it
+      val cond =
+        if (f >= 1.0) lit(true)
+        else h < lit(f"${math.floor(f * 4294967296.0).toLong}%08x")
+      when(col(stratumCol) === stratum, cond).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Exactly n rows per stratum, chosen by hash order (deterministic,
     * content-stable). The rank runs over a NARROW (stratum, key, hash)
     * projection — the same discipline as ExtractPipeline.withConvOrder:

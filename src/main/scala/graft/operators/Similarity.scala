@@ -141,7 +141,7 @@ object Similarity {
     * that layout, not the assignment math, is what makes IVF pay at
     * 100 TB (see the IvfSpec pushdown test).
     */
-  def ivfIndex(df: DataFrame, vecCol: String, idCol: String,
+  def ivfIndex(df: DataFrame, vecCol: String,
                pivots: Array[Array[Double]]): DataFrame =
     df.withColumn("list_id", listAssign(col(vecCol), pivots))
 
@@ -207,7 +207,7 @@ object Similarity {
         .select(Dedup.bindOnce(col("_raw"), v =>
           Dedup.bindOnce(l2norm(v), n =>
             transform(v, x => x / n))).as("_v"))
-      val means = ivfIndex(unit, "_v", "_v", ps)
+      val means = ivfIndex(unit, "_v", ps)
         .select(col("list_id"), posexplode(col("_v")).as(Seq("pos", "x")))
         .groupBy("list_id", "pos").agg(avg("x").as("m"))
         .collect()
@@ -233,7 +233,7 @@ object Similarity {
                  pivots: Array[Array[Double]]): Double = {
     val pl = array(pivots.map(p => array(p.map(lit): _*)): _*)
     val v = col(vecCol).cast("array<double>")
-    ivfIndex(df, vecCol, vecCol, pivots)
+    ivfIndex(df, vecCol, pivots)
       .select((lit(1.0) - cosine(v, element_at(pl, col("list_id") + 1))).as("d"))
       .agg(avg("d")).first().getDouble(0)
   }

@@ -95,6 +95,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureSample keeps each stratum near its fraction, drops unlisted") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(9000)
+      .select(col("id").as("doc_id"),
+        element_at(array(lit("en"), lit("ru"), lit("de")),
+          (col("id") % 3 + 1).cast("int")).as("src"))
+    val kept = Curation.mixtureSample(df, col("doc_id"), "src",
+      Map("en" -> 0.5, "ru" -> 1.0, "de" -> 0.0))
+    val counts = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("ru") == 3000L) // fraction 1.0 keeps everything
+    assert(!counts.contains("de")) // fraction 0 drops everything
+    assert(math.abs(counts("en") - 1500L) < 150, counts.toString)
+    // unlisted stratum dropped entirely
+    val extra = Seq((99999L, "books")).toDF("doc_id", "src")
+    assert(Curation.mixtureSample(df.unionByName(extra), col("doc_id"),
+      "src", Map("en" -> 0.5)).filter(col("src") === "books").count() == 0)
+    // deterministic and a pushable filter (no exchange)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      Curation.mixtureSample(df, col("doc_id"), "src",
+        Map("en" -> 0.5, "ru" -> 1.0, "de" -> 0.0))
+        .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("packSequences chunks by cumulative count; straddlers keep their start window") {
     val s = spark
     import s.implicits._

@@ -86,7 +86,7 @@ class IvfSpec extends AnyFunSuite {
   test("a probe over an ivfIndex parquet layout partition-prunes") {
     val pivots = Similarity.samplePivots(clustered, "embedding", "vec_id", 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    Similarity.ivfIndex(clustered, "embedding", "vec_id", pivots)
+    Similarity.ivfIndex(clustered, "embedding", pivots)
       .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     val indexed = spark.read.parquet(dir)
     val probed = indexed.filter(col("list_id").isin(0, 1))
