@@ -556,6 +556,24 @@ object SparkEntry {
       corpus.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
     }),
 
+    "q53_quantize_int8" -> ((s, dir) => {
+      // int8 scalar quantization audit: per vector, the scale, the max
+      // reconstruction error (bounded by scale/2) and the cosine between
+      // the original and its dequantized form
+      val e = t(s, dir, "embeddings")
+      val q = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.quantizeInt8(col("embedding")).as("qz"))
+      q.select(col("vec_id"),
+        round(col("qz.scale"), 9).as("scale"),
+        round(aggregate(
+          zip_with(col("v"), Similarity.dequantize(col("qz")),
+            (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"),
+        round(Similarity.cosine(col("v"),
+          Similarity.dequantize(col("qz"))), 6).as("cos_approx"))
+    }),
+
     "q52_mixture_sample" -> ((s, dir) =>
       // training-mixture weights per source: en at 0.5, zh at 1.0, de
       // at 0.25, everything unlisted dropped — a pushable shuffle-free
@@ -865,6 +883,28 @@ object SparkEntry {
          )
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
+
+    // identical arithmetic: scale = max|x|/127, q = clamped round(x/s),
+    // reconstruction error and cosine against the dequantized vector
+    "q53_quantize_int8" ->
+      """WITH q AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))) / 127.0 AS scale
+           FROM embeddings
+         ), z AS (
+           SELECT vec_id, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    greatest(-127.0, least(127.0, round(x / scale, 0))) * scale)
+             END AS dq
+           FROM q
+         )
+         SELECT vec_id, round(scale, 9) AS scale,
+           round(list_max(list_transform(list_zip(v, dq),
+             p -> abs(p[1] - p[2]))), 9) AS max_err,
+           round(list_cosine_similarity(v, dq), 6) AS cos_approx
+         FROM z""",
 
     // per-stratum md5 thresholds: floor(f * 16^8) as 8 lowercase hex
     // digits (0.5 -> 80000000, 0.25 -> 40000000; 1.0 keeps all)

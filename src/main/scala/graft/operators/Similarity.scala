@@ -238,6 +238,40 @@ object Similarity {
       .agg(avg("d")).first().getDouble(0)
   }
 
+  // ---------- int8 scalar quantization ----------
+
+  /** Symmetric int8 scalar quantization of an embedding column: `scale =
+    * max(|v_i|) / 127`, `q_i = round(v_i / scale)` clamped to
+    * [-127, 127] — the standard 4x storage/bandwidth compression for
+    * corpus-scale vector columns (at 100 TB the embedding table's byte
+    * width IS the scan cost; see [[ivfIndex]] for the layout half).
+    * Pure `functions._` (bindOnce'd so the max-abs fold runs once), no
+    * UDF. Zero vectors quantize to all-zero with scale 0.
+    * Reconstruction error per component is at most `scale / 2`;
+    * [[dequantize]] inverts up to that bound, and cosine over
+    * dequantized vectors equals cosine over the int arrays (scale
+    * cancels), so re-ranking can run directly on the quantized column.
+    */
+  def quantizeInt8(vecCol: Column): Column =
+    Dedup.bindOnce(vecCol.cast("array<double>"), v =>
+      Dedup.bindOnce(
+        aggregate(transform(v, x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x)) / 127.0,
+        scale => struct(
+          scale.as("scale"),
+          when(scale === 0, transform(v, _ => lit(0)))
+            .otherwise(transform(v, x =>
+              greatest(lit(-127), least(lit(127),
+                round(x / scale, 0).cast("int")))))
+            .as("q"))))
+
+  /** Inverse of [[quantizeInt8]]: `v_i ~ q_i * scale` (exact up to
+    * scale/2 per component).
+    */
+  def dequantize(quantCol: Column): Column =
+    Dedup.bindOnce(quantCol, s =>
+      transform(s.getField("q"), q => q.cast("double") * s.getField("scale")))
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH + exact verify (the embedding leg of the dedup suite).
     *

@@ -83,6 +83,42 @@ class IvfSpec extends AnyFunSuite {
     assert(lid == 0)
   }
 
+  test("int8 quantization: bounded error, cosine preserved, zero-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.3, -1.27, 0.002, 0.9)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(-0.5, 0.5, 0.25, -0.125))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+      col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("qz"))
+    val rows = q.select(col("vec_id"), col("qz.scale"), col("qz.q"),
+        Similarity.dequantize(col("qz")).as("dq"), col("embedding"))
+      .collect()
+    for (r <- rows) {
+      val scale = r.getDouble(1)
+      val qs = r.getSeq[Int](2)
+      val dq = r.getSeq[Double](3)
+      val orig = r.getSeq[Double](4)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      orig.zip(dq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-12,
+          s"err ${math.abs(o - d)} > ${scale / 2}")
+      }
+      if (r.getLong(0) == 2L) {
+        assert(scale == 0.0 && qs.forall(_ == 0))
+      }
+    }
+    // cosine over the int arrays equals cosine over dequantized (scale
+    // cancels) and approximates the original closely
+    val cos = q.filter(col("vec_id") === 1)
+      .select(Similarity.cosine(col("embedding"),
+        Similarity.dequantize(col("qz"))))
+      .first().getDouble(0)
+    assert(cos > 0.9999, cos.toString)
+  }
+
   test("a probe over an ivfIndex parquet layout partition-prunes") {
     val pivots = Similarity.samplePivots(clustered, "embedding", "vec_id", 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
