@@ -549,11 +549,10 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           concat(col("text"), lit(" extra tail tokens")).as("text"))
       val corpus = d.unionByName(mutated)
-      val drop = Dedup.minhashNearDupGroups(corpus, "text", "doc_id",
-          threshold = 0.5)
-        .filter(col("id") =!= col("group_id"))
-        .select(col("id").as("doc_id"))
-      corpus.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+      Components.dropByGroupLabels(corpus,
+          Dedup.minhashNearDupGroups(corpus, "text", "doc_id",
+            threshold = 0.5), "doc_id")
+        .select("doc_id")
     }),
 
     "q53_quantize_int8" -> ((s, dir) => {

@@ -158,6 +158,13 @@ object Components {
     * id), passing through every document in no pair: the last stage of
     * the dedup pipeline. One broadcast-or-shuffle left join against the
     * (small) labeling — the corpus itself is scanned once.
+    *
+    * NOTE: this pair-based form pays the pair surface's quadratic
+    * member-pair expansion upstream. When a family's `*Groups` surface
+    * exists (`Dedup.minhashNearDupGroups`, `Similarity.cosineNearDupGroups`,
+    * `Winnow.sharedFingerprintGroups`, `Dedup.simhashNearDupGroups`),
+    * prefer [[dropByGroupLabels]] over its labeling — same result, no
+    * quadratic blowup.
     */
   def dropNearDups(df: DataFrame, pairs: DataFrame, idCol: String,
                    idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
@@ -165,5 +172,18 @@ object Components {
       .filter(col("id") =!= col("group_id"))
       .select(col("id").as("_drop_id"))
     df.join(labels, df(idCol) === col("_drop_id"), "left_anti")
+  }
+
+  /** Keep one representative per group from a `(id, group_id)` labeling
+    * (any `*Groups` surface): drop every labeled doc that is not its
+    * group's minimum; docs absent from the labeling pass through. The
+    * scale-right end of the dedup pipeline — one anti-join against the
+    * non-minima, the corpus scanned once, no pair expansion anywhere.
+    */
+  def dropByGroupLabels(df: DataFrame, labels: DataFrame,
+                        idCol: String): DataFrame = {
+    val drop = labels.filter(col("id") =!= col("group_id"))
+      .select(col("id").as("_drop_id"))
+    df.join(drop, df(idCol) === col("_drop_id"), "left_anti")
   }
 }

@@ -198,9 +198,10 @@ object Curation {
     val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
     val result =
       if (total == 0L) {
-        df.sparkSession.emptyDataFrame
-          .select(lit(0L).as(idCol), lit(0.0).as("logprob"),
-            lit(0L).as("n_tokens")).limit(0)
+        // preserve the id column's TYPE in the empty result (a literal
+        // schema here would make the output schema data-dependent)
+        df.select(col(idCol), lit(0.0).as("logprob"),
+          lit(0L).as("n_tokens")).limit(0)
       } else {
         val vocabDf = counts.orderBy(col("_c").desc, col("_tok"))
           .limit(vocab)

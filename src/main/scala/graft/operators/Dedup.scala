@@ -403,18 +403,14 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 64,
       statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, reps, verified) = minhashRepPairs(df, textCol, idCol,
-      shingleK, numHashes, bands, threshold, maxBucket, statsObs)
+    val (collapsed, _, verified, eligible) = minhashRepPairs(df, textCol,
+      idCol, shingleK, numHashes, bands, threshold, maxBucket, statsObs)
     // expansion: member pairs + internal pairs of exact groups
-    //    (eligible = groups whose text yields >=1 shingle, matching the
-    //    banding-stage gate; identical texts have Jaccard exactly 1.0).
-    //    Skipped entirely when the corpus had no exact duplicates.
+    //    (identical texts have Jaccard exactly 1.0). Skipped entirely
+    //    when the corpus had no exact duplicates.
     collapsed.dupMapping match {
       case None => verified
       case Some(mapping) =>
-        val eligible = reps
-          .filter(size(wordShingles(col("text"), shingleK)) >= 1)
-          .select(col("id").as("rep"))
         val internal = expandInternal(mapping, eligible)
           .withColumn("jaccard", lit(1.0))
         expandCross(verified, mapping, "jaccard").unionByName(internal)
@@ -432,7 +428,7 @@ object Dedup {
     * minimum over reps (each rep is already its group's min id). Output
     * is row-for-row identical to
     * `Components.dupGroups(minhashNearDups(...))` (pinned by
-    * OperatorSpec) at O(reps + dup members) instead of
+    * ComponentsSpec) at O(reps + dup members) instead of
     * O(sum cluster^2).
     */
   def minhashNearDupGroups(
@@ -440,11 +436,9 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 64,
       statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, reps, verified) = minhashRepPairs(df, textCol, idCol,
-      shingleK, numHashes, bands, threshold, maxBucket, statsObs)
-    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
-      reps.filter(size(wordShingles(col("text"), shingleK)) >= 1)
-        .select(col("id").as("rep")))
+    val (collapsed, _, verified, eligible) = minhashRepPairs(df, textCol,
+      idCol, shingleK, numHashes, bands, threshold, maxBucket, statsObs)
+    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"), eligible)
   }
 
   /** Shared labeling tail for every near-dup `*Groups` variant:
@@ -463,9 +457,16 @@ object Dedup {
       case None =>
         repLabels.select(col("id"), col("component").as("group_id"))
       case Some(mapping) =>
+        // a member is labeled when its rep is PAIRED (component inherited
+        // — eligibility is irrelevant, matching expandCross, which
+        // expands cross pairs unconditionally) or when its group is
+        // unpaired but ELIGIBLE (label = rep id, matching
+        // expandInternal's gate)
         val memberLabels = mapping
-          .join(eligibleReps, Seq("rep"), "left_semi")
           .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+          .join(eligibleReps.withColumn("_eligible", lit(true)),
+            Seq("rep"), "left")
+          .filter(col("component").isNotNull || col("_eligible"))
           .select(col("id"),
             coalesce(col("component"), col("rep")).as("group_id"))
         val singlePaired = repLabels
@@ -478,13 +479,16 @@ object Dedup {
 
   /** Shared front of the MinHash pipeline: collapse -> band -> bounded
     * candidate pairs -> exact-Jaccard verify at REPRESENTATIVE level.
-    * Returns (collapsed, reps(id, text), verified(id_a, id_b, jaccard)).
+    * Returns (collapsed, reps(id, text), verified(id_a, id_b, jaccard),
+    * eligible(rep)) — eligibility (>=1 shingle, the banding-stage gate)
+    * is computed HERE, once, so the pair and group surfaces can never
+    * drift apart on it.
     */
   private def minhashRepPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int,
-      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame) = {
+      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val spark = df.sparkSession
     import spark.implicits._
@@ -528,7 +532,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-    (collapsed, reps, verified)
+    val eligible = reps
+      .filter(size(wordShingles(col("text"), shingleK)) >= 1)
+      .select(col("id").as("rep"))
+    (collapsed, reps, verified, eligible)
   }
 
   // ---------- SimHash ----------
@@ -602,7 +609,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64,
                       statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, _, verified) =
+    val (collapsed, _, verified, eligible) =
       simhashRepPairs(df, textCol, idCol, maxHamming, maxBucket, statsObs)
     // expansion: cross pairs inherit the reps' hamming exactly (identical
     // sig); internal pairs of a sig group have hamming 0. Skipped when no
@@ -610,8 +617,7 @@ object Dedup {
     collapsed.dupMapping match {
       case None => verified
       case Some(mapping) =>
-        val internal = expandInternal(mapping,
-            collapsed.reps.select(col("id").as("rep")))
+        val internal = expandInternal(mapping, eligible)
           .withColumn("hamming", lit(0))
         expandCross(verified, mapping, "hamming").unionByName(internal)
     }
@@ -626,20 +632,21 @@ object Dedup {
   def simhashNearDupGroups(df: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int = 3, maxBucket: Int = 64,
                            statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, reps, verified) =
+    val (collapsed, _, verified, eligible) =
       simhashRepPairs(df, textCol, idCol, maxHamming, maxBucket, statsObs)
-    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
-      reps.select(col("id").as("rep")))
+    groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"), eligible)
   }
 
   /** Shared front of the SimHash pipeline: signature map -> exact
     * collapse -> chunk-pair keys -> bounded candidate pairs -> exact
-    * hamming verify at REPRESENTATIVE level. Returns
-    * (collapsed, reps(id, sig), verified(id_a, id_b, hamming)).
+    * hamming verify at REPRESENTATIVE level. Returns (collapsed,
+    * reps(id, sig), verified(id_a, id_b, hamming), eligible(rep)) —
+    * every signature group is internally eligible (hamming 0), and the
+    * shared gate lives here so the surfaces cannot drift.
     */
   private def simhashRepPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int, maxBucket: Int,
-      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame) = {
+      statsObs: Option[Observation]): (Collapsed, DataFrame, DataFrame, DataFrame) = {
     require(maxHamming <= 3,
       "chunk-pair keying guarantees recall only for hamming <= 3 " +
         "(5 chunks - maxHamming flipped must leave >= 2 clean)")
@@ -678,6 +685,6 @@ object Dedup {
         bit_count(col("_sig_a").bitwiseXOR(col("_sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    (collapsed, reps, verified)
+    (collapsed, reps, verified, reps.select(col("id").as("rep")))
   }
 }

@@ -301,16 +301,14 @@ object Similarity {
                      tables: Int = 4, maxBucket: Int = 256,
                      seed: Long = 7L,
                      statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, reps, verified) = cosineRepPairs(df, vecCol, idCol,
-      threshold, bits, tables, maxBucket, seed, statsObs)
+    val (collapsed, _, verified, eligible) = cosineRepPairs(df, vecCol,
+      idCol, threshold, bits, tables, maxBucket, seed, statsObs)
     // expansion: cross pairs inherit the reps' cosine exactly (identical
     // vectors); internal pairs of a non-zero vector group have cosine 1.
     // Skipped when no two vectors are byte-identical.
     collapsed.dupMapping match {
       case None => verified
       case Some(mapping) =>
-        val eligible = reps.filter(l2norm(col("v")) > 0)
-          .select(col("id").as("rep"))
         val internal = Dedup.expandInternal(mapping, eligible)
           .withColumn("cos", lit(1.0))
         Dedup.expandCross(verified, mapping, "cos").unionByName(internal)
@@ -329,20 +327,22 @@ object Similarity {
                           tables: Int = 4, maxBucket: Int = 256,
                           seed: Long = 7L,
                           statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, reps, verified) = cosineRepPairs(df, vecCol, idCol,
-      threshold, bits, tables, maxBucket, seed, statsObs)
+    val (collapsed, _, verified, eligible) = cosineRepPairs(df, vecCol,
+      idCol, threshold, bits, tables, maxBucket, seed, statsObs)
     Dedup.groupsFromRepPairs(collapsed, verified.select("id_a", "id_b"),
-      reps.filter(l2norm(col("v")) > 0).select(col("id").as("rep")))
+      eligible)
   }
 
   /** Shared front of the embedding pipeline: collapse -> multi-table
     * sign-pattern keys -> bounded candidate pairs -> exact cosine verify
     * at REPRESENTATIVE level. Returns (collapsed, reps(id, v),
-    * verified(id_a, id_b, cos)).
+    * verified(id_a, id_b, cos), eligible(rep)) — eligibility (non-zero
+    * vectors) is computed HERE, once, so the pair and group surfaces
+    * cannot drift apart on it.
     */
   private def cosineRepPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, bits: Int, tables: Int, maxBucket: Int,
-      seed: Long, statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame) = {
+      seed: Long, statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame, DataFrame) = {
     require(bits <= 32, "bits must fit the per-table key")
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -374,6 +374,8 @@ object Similarity {
       .withColumn("cos", round(cosine(col("_v_a"), col("_v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-    (collapsed, reps, verified)
+    val eligible = reps.filter(l2norm(col("v")) > 0)
+      .select(col("id").as("rep"))
+    (collapsed, reps, verified, eligible)
   }
 }

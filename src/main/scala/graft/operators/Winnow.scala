@@ -87,7 +87,7 @@ object Winnow {
                              minShared: Int = 2,
                              maxBucket: Int = 64,
                              statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, fps, verified) =
+    val (collapsed, _, verified, eligible) =
       winnowRepPairs(df, textCol, idCol, k, w, minShared, maxBucket, statsObs)
 
     // expansion (see scaladoc): internal groups qualify iff their
@@ -97,9 +97,6 @@ object Winnow {
     collapsed.dupMapping match {
       case None => verified
       case Some(mapping) =>
-        val eligible = fps.select(col("id").as("rep"), col("nfp"))
-          .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
-          .filter(col("_gn") >= minShared)
         val members = mapping.join(eligible, "rep")
         val internal = members
           .select(col("rep"), col("_gn"), col("id").as("id_a"))
@@ -122,23 +119,22 @@ object Winnow {
                               minShared: Int = 2,
                               maxBucket: Int = 64,
                               statsObs: Option[Observation] = None): DataFrame = {
-    val (collapsed, fps, verified) =
+    val (collapsed, _, verified, eligible) =
       winnowRepPairs(df, textCol, idCol, k, w, minShared, maxBucket, statsObs)
-    val eligible = fps.select(col("id").as("rep"), col("nfp"))
-      .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
-      .filter(col("_gn") >= minShared)
-      .select("rep")
     Dedup.groupsFromRepPairs(collapsed,
-      verified.select("id_a", "id_b"), eligible)
+      verified.select("id_a", "id_b"), eligible.select("rep"))
   }
 
   /** Shared front: collapse -> fingerprint emission -> bounded buckets
     * -> co-occurrence-counted pairs at REPRESENTATIVE level. Returns
-    * (collapsed, fps(id, fp, nfp), verified(id_a, id_b, n_shared)).
+    * (collapsed, fps(id, fp, nfp), verified(id_a, id_b, n_shared),
+    * eligible(rep, _gn)) — the internal-group gate (fingerprint count
+    * >= minShared) is computed HERE, once, so the pair and group
+    * surfaces cannot drift apart on it.
     */
   private def winnowRepPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, minShared: Int, maxBucket: Int,
-      statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame) = {
+      statsObs: Option[Observation]): (Dedup.Collapsed, DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -172,6 +168,9 @@ object Winnow {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    (collapsed, fps, verified)
+    val eligible = fps.select(col("id").as("rep"), col("nfp"))
+      .groupBy("rep").agg(max("nfp").cast("long").as("_gn"))
+      .filter(col("_gn") >= minShared)
+    (collapsed, fps, verified, eligible)
   }
 }

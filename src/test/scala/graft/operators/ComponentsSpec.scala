@@ -120,6 +120,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(!direct.exists(_._1 == 20L) && !direct.exists(_._1 == 30L))
   }
 
+  test("threshold 0: a paired-but-ineligible exact group labels identically") {
+    val s = spark
+    import s.implicits._
+    // zero-vector exact cluster {10,11}: ineligible for internal pairs
+    // (l2norm = 0) but cosine(0, x) = 0 >= 0.0 VERIFIES any
+    // bucket-collided pair, so expandCross still reaches its members —
+    // the group construction must label them too (review finding: the
+    // old eligibility semi-join dropped the whole cluster)
+    val corpus = Seq(
+      1L -> Seq(1.0, 0.1), 2L -> Seq(0.9, 0.11),
+      10L -> Seq(0.0, 0.0), 11L -> Seq(0.0, 0.0))
+      .toDF("vec_id", "embedding")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPairs = labels(Components.dupGroups(
+      Similarity.cosineNearDups(corpus, "embedding", "vec_id",
+        threshold = 0.0, bits = 1, tables = 1)))
+    val direct = labels(Similarity.cosineNearDupGroups(corpus, "embedding",
+      "vec_id", threshold = 0.0, bits = 1, tables = 1))
+    assert(direct == viaPairs)
+    assert(viaPairs.exists(_._1 == 11L),
+      s"zero-vector member not labeled: $viaPairs")
+  }
+
   test("simhash and winnow group variants match their pair-based constructions") {
     val s = spark
     import s.implicits._
