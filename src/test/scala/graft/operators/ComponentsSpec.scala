@@ -120,6 +120,15 @@ class ComponentsSpec extends AnyFunSuite {
     assert(!direct.exists(_._1 == 20L) && !direct.exists(_._1 == 30L))
   }
 
+  test("2000-edge random graph matches union-find (bulk sanity)") {
+    val rnd = new scala.util.Random(7)
+    val n = 1500
+    val es = Seq.fill(2000)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val got = labelsOf(Components.connectedComponents(pairs(es: _*)))
+    assert(got == unionFind(es))
+  }
+
   test("threshold 0: a paired-but-ineligible exact group labels identically") {
     val s = spark
     import s.implicits._
