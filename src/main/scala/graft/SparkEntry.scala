@@ -555,6 +555,43 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    "q54_exact_dup_groups" -> ((s, dir) => {
+      // exact-dup group report over planted byte-identical copies
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exactDupGroups(d.unionByName(dup), "text", "doc_id")
+        .select("keep_id", "n_dups")
+    }),
+
+    "q55_drop_exact_dups" -> ((s, dir) => {
+      // keep one representative per normalized text (min id wins) —
+      // aggregate-then-join, mega-group-safe (no fingerprint window)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val dup = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.dropExactDups(d.unionByName(dup), "text", "doc_id")
+        .select("doc_id")
+    }),
+
+    "q56_hash_sample" -> ((s, dir) =>
+      // content-stable ~25% sample: md5 hex order under "40" — a
+      // pushable, shuffle-free, engine-reproducible filter
+      operators.Curation.hashSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), "40")),
+
+    "q57_pack_by_lang" -> ((s, dir) => {
+      // the per-stratum scale form of q49: each language packs its own
+      // windows; the rank runs over a narrow projection, payload rejoins
+      val counted = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      operators.Curation.packSequencesBy(counted, col("n_tokens"),
+        "lang", "doc_id", 512)
+    }),
+
     "q53_quantize_int8" -> ((s, dir) => {
       // int8 scalar quantization audit: per vector, the scale, the max
       // reconstruction error (bounded by scale/2) and the cosine between
@@ -882,6 +919,51 @@ object SparkEntry {
          )
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
+
+    // groups keyed by the normalized text itself (the engine's 64-bit
+    // fingerprint is an internal key; the REPORT columns are mirrorable)
+    "q54_exact_dup_groups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+         )
+         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM corpus
+         GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+         HAVING count(*) > 1""",
+
+    "q55_drop_exact_dups" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+         )
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (
+             PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           ) AS keep
+           FROM corpus)
+         WHERE doc_id = keep""",
+
+    "q56_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 2)
+           < '40'""",
+
+    "q57_pack_by_lang" ->
+      """SELECT doc_id, lang, n_tokens,
+           CAST(floor(cum0 / 512) AS BIGINT) AS pack_id,
+           CAST(cum0 % 512 AS BIGINT) AS pack_offset
+         FROM (
+           SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+           FROM (SELECT doc_id, lang,
+                   CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+                     ELSE len(string_split_regex(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+                 FROM documents))""",
 
     // identical arithmetic: scale = max|x|/127, q = clamped round(x/s),
     // reconstruction error and cosine against the dequantized vector
