@@ -270,23 +270,6 @@ object Bench {
 
     // --- per-query timings at full parallelism ---
     val spark = session(cpus)
-    // secondary extraction number: the payload-materializing typed path
-    // at local[cpus] (warm pass + timed pass) — the serde delta vs the
-    // stats job is visible as stats/payload
-    val tpPayload = {
-      runExtractionPayload(spark, inputDir)
-      val t0 = System.nanoTime()
-      val n = runExtractionPayload(spark, inputDir)
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val total = results.map(_._2).sum
 
     // --- pure-kernel thread pair (scaling-residual attribution) ---
     // VERDICT r02 graded scaling weak "until a published pair reaches
@@ -341,6 +324,28 @@ object Bench {
         val b4N = ks.map(_._2).max
         Some((bN, b4N, (b4N / bN) / (cpus.toDouble / nThreads)))
       } catch { case _: Throwable => None }
+
+    // (measured BEFORE the per-query section: adaptive cluster rounds
+    // can run to ~420s, and the envelope must survive exactly those
+    // long runs — it is their attribution)
+    // secondary extraction number: the payload-materializing typed path
+    // at local[cpus] (warm pass + timed pass) — the serde delta vs the
+    // stats job is visible as stats/payload
+    val tpPayload = {
+      runExtractionPayload(spark, inputDir)
+      val t0 = System.nanoTime()
+      val n = runExtractionPayload(spark, inputDir)
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val total = results.map(_._2).sum
+
 
     // --- BENCH/BASELINE.md ---
     val md = new StringBuilder
