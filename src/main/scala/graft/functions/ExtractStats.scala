@@ -67,13 +67,16 @@ object ExtractStats {
   def compute(u: UTF8String): InternalRow = {
     // UTF8String -> String is the one unavoidable copy: the kernel is
     // char-based (the reference's semantics are java.lang.String's)
-    val text = u.toString
-    if (text.length > TurnExtractor.maxTurnBytes) {
-      // TurnExtractor parity: the too-large gate reports the raw char
-      // count as nBytes (its error row does the same)
-      return new GenericInternalRow(Array[Any](0, 0, 0, text.length.toLong,
+    // byte gate BEFORE the UTF8String -> String copy: numBytes is the
+    // exact UTF-8 length for free, and gating first means a pathological
+    // 100 MB row never allocates its char[] at all (TurnExtractor parity:
+    // its byteGate computes the same UTF-8 byte count from the String
+    // side, so both paths gate on identical values and report bytes)
+    if (u.numBytes > TurnExtractor.maxTurnBytes) {
+      return new GenericInternalRow(Array[Any](0, 0, 0, u.numBytes.toLong,
         false))
     }
+    val text = u.toString
     try {
       val elements =
         if (HtmlExtract.looksLikeHtml(text)) HtmlExtract.tokenize(text)

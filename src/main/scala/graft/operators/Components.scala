@@ -41,6 +41,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Convergence telemetry for one [[connectedComponentsWithStats]] run
+    * (VERDICT r03 #7): `rounds` alternations to the confirmed fixpoint,
+    * `edgeCounts(i)` = canonical edge count AFTER round i (the counts
+    * are free — each round's convergence checksum already aggregates
+    * them), `inputEdges` = the distinct canonical edge count of the
+    * input. A production run alerts when `rounds` approaches its bound
+    * or edge counts stop contracting — the convergence-pathology
+    * signals for a graph whose shape regressed (e.g. an LSH bug
+    * flooding the pair surface).
+    */
+  final case class CcStats(rounds: Int, inputEdges: Long,
+                           edgeCounts: Seq[Long])
+
   /** Connected components of an undirected pair graph.
     *
     * Input: a DataFrame with two long-castable id columns (self-loops
@@ -58,7 +71,16 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
-                          maxRounds: Int = 30): DataFrame = {
+                          maxRounds: Int = 30): DataFrame =
+    connectedComponentsWithStats(pairs, idACol, idBCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus its [[CcStats]] round telemetry. The
+    * loop is driver-stepped (each round's convergence checksum is an
+    * action), so the stats are exact and cost nothing extra.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, idACol: String = "id_a",
+                                   idBCol: String = "id_b",
+                                   maxRounds: Int = 30): (DataFrame, CcStats) = {
     // canonical directed edge (hi > lo); self-loops dropped
     var edges = pairs
       .select(col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
@@ -78,6 +100,8 @@ object Components {
     }
 
     var sig = checksum(edges)
+    val inputEdges = sig._1
+    val roundEdgeCounts = scala.collection.mutable.ArrayBuffer[Long]()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -129,6 +153,7 @@ object Components {
       edges.unpersist()
       edges = next
       sig = nextSig
+      roundEdgeCounts += nextSig._1
       round += 1
     }
     if (!converged) {
@@ -138,9 +163,10 @@ object Components {
     }
     // fixpoint edges are stars: (node, componentMin); the minima appear
     // only on the lo side, so add their self-labels
-    edges.select(col("hi").as("id"), col("lo").as("component"))
+    val labels = edges.select(col("hi").as("id"), col("lo").as("component"))
       .unionByName(
         edges.select(col("lo").as("id"), col("lo").as("component")).distinct())
+    (labels, CcStats(round, inputEdges, roundEdgeCounts.toSeq))
   }
 
   /** Near-dup group labeling straight off a verified pair set:

@@ -105,20 +105,26 @@ object Curation {
     df.filter(keep)
   }
 
-  /** Exactly n rows per stratum, chosen by hash order (deterministic,
-    * content-stable). The rank runs over a NARROW (stratum, key, hash)
-    * projection — the same discipline as ExtractPipeline.withConvOrder:
-    * the per-stratum exchange ships ~50-byte rows and the payload
-    * rejoins on (stratum, key). A stratum bigger than one task's sort
-    * budget spills (external sort); for corpus-scale strata where exact
-    * n is not required, [[hashSample]] with a per-stratum threshold is
-    * the shuffle-free alternative.
+  /** Exactly n KEYS per stratum, chosen by hash order (deterministic,
+    * content-stable). `keyCol` is expected to be unique within each
+    * stratum (a doc id); the rank runs over the DISTINCT (stratum, key)
+    * projection so duplicate-key inputs still rank each key once with a
+    * deterministic hash order (ADVICE r03) — but the semi-join then
+    * keeps EVERY row of a selected key, so with duplicate keys the
+    * output is "n keys per stratum", not "n rows" (the q43 oracle
+    * relies on doc_id uniqueness). The rank runs over a NARROW
+    * (stratum, key, hash) projection — the same discipline as
+    * ExtractPipeline.withConvOrder: the per-stratum exchange ships
+    * ~50-byte rows and the payload rejoins on (stratum, key). A stratum
+    * bigger than one task's sort budget spills (external sort); for
+    * corpus-scale strata where exact n is not required, [[hashSample]]
+    * with a per-stratum threshold is the shuffle-free alternative.
     */
   def stratifiedTake(df: DataFrame, stratumCol: String, keyCol: String,
                      nPerStratum: Int): DataFrame = {
     val w = Window.partitionBy(stratumCol)
       .orderBy(col("_hk"), col(keyCol))
-    val keep = df.select(col(stratumCol), col(keyCol))
+    val keep = df.select(col(stratumCol), col(keyCol)).distinct()
       .withColumn("_hk", md5(col(keyCol).cast("string")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nPerStratum)
@@ -193,8 +199,12 @@ object Curation {
     val toks = df.select(col(idCol),
         explode(split(TextStats.normalize(col(textCol)), " ")).as("_tok"))
       .filter(col("_tok") =!= "")
+    // eager localCheckpoint, not persist: persist would pin the token
+    // counts in CacheManager for the session lifetime (ContextCleaner
+    // does not collect cached plans — ADVICE r03); checkpoint blocks are
+    // dropped once the result frame is unreachable
     val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
     val result =
       if (total == 0L) {

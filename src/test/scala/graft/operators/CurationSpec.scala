@@ -95,6 +95,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedTake with duplicate keys: n distinct KEYS per stratum, " +
+    "deterministic (ADVICE r03)") {
+    // each key appears twice; the rank must run over the distinct
+    // (stratum, key) projection so exactly n keys are selected per
+    // stratum with a deterministic hash order — every row of a selected
+    // key is kept (the documented duplicate-key contract)
+    val df = spark.range(100)
+      .select((col("id") % 50).as("doc_id"),
+        (col("id") % 2).cast("string").as("lang"))
+    val out = Curation.stratifiedTake(df, "lang", "doc_id", 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    val perStratumKeys = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(perStratumKeys.values.forall(_.length == 5),
+      s"expected 5 distinct keys per stratum, got ${perStratumKeys.toMap}")
+    // all duplicate rows of a selected key survive the semi-join
+    assert(out.length == 20, s"2 strata x 5 keys x 2 rows, got ${out.length}")
+    // deterministic under repartitioning
+    val again = Curation.stratifiedTake(df.repartition(7), "lang", "doc_id", 5)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .sorted.toSeq
+    assert(again == out.sorted.toSeq)
+  }
+
   test("mixtureSample keeps each stratum near its fraction, drops unlisted") {
     val s = spark
     import s.implicits._

@@ -309,8 +309,12 @@ class OperatorSpec extends AnyFunSuite {
       3L -> ("x " * 20)) // one exact dup + one near dup
     val plan = Dedup.minhashNearDups(d, "text", "doc_id", threshold = 0.5)
       .queryExecution.executedPlan.toString
-    // every reps scan reads the persisted collapse aggregate
-    assert(plan.contains("InMemoryTableScan"), plan)
+    // every reps scan reads the materialized (localCheckpoint) collapse
+    // aggregate — checkpoint blocks surface as an ExistingRDD scan; a
+    // persist here would leak in CacheManager for the session (ADVICE r03)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("InMemoryTableScan"),
+      "collapse must not use session-lifetime persist")
     // the id-per-bucket cap is the streaming fold, not an agg buffer
     assert(!plan.contains("collect_list"), plan)
   }

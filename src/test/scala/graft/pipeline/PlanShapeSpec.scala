@@ -74,11 +74,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // the payload still reaches the output (via the two-key join)
     assert(df.columns.contains("extractedText"))
     assert(df.columns.contains("turn_rank"))
-    // in-flight input => extraction persisted once, not computed twice
-    // in the narrow and payload branches (VERDICT r02 #5)
+    // in-flight input => extraction materialized once (localCheckpoint),
+    // not computed twice in the narrow and payload branches (VERDICT r02
+    // #5); not persist — that leaks in CacheManager for the session
     val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("InMemoryTableScan"),
-      "unmaterialized input must be persisted, not re-extracted")
+    assert(phys.contains("Scan ExistingRDD"),
+      "unmaterialized input must be checkpointed once, not re-extracted")
+    assert(!phys.contains("MapPartitions"),
+      "extraction must not run inside the consuming plan")
     // a materialized table input must NOT be cached
     val dir = java.nio.file.Files.createTempDirectory("graft-convorder")
       .toString + "/t"
@@ -88,8 +91,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val fromTable = ExtractPipeline.withConvOrder(
       spark.read.parquet(dir).as[ExtractedTurn])
     assert(!fromTable.queryExecution.executedPlan.toString
-      .contains("InMemoryTableScan"),
-      "table input must stay a pruned scan, not a cache")
+      .contains("Scan ExistingRDD"),
+      "table input must stay a pruned scan, not a checkpoint copy")
   }
 
   test("q26 flagship extraction plan has no Exchange") {
