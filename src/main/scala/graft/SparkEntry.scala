@@ -352,6 +352,7 @@ object SparkEntry {
     }),
 
     "q27_extract_conv_order" -> ((s, dir) => {
+      val nConvs = if (dir.endsWith("0.1")) 2000L else 300L
       val extracted = ExtractPipeline.extractNarrow(
         s.read.parquet(oracleTurnsPath(s, 300)))
       ExtractPipeline.withConvOrder(extracted)
@@ -695,6 +696,72 @@ object SparkEntry {
             graft.core.Segmenter.extractedText(md).length)
         }
         .toDF("doc_id", "n_paras", "extracted_len")
+    }),
+
+    "q58_docx_decode" -> ((s, dir) => {
+      // REAL binary-format decode (S3, VERDICT r03 #3): byte-stable
+      // synthesized DOCX containers read through binaryFile, decoded by
+      // the JDK-only ZIP+StAX tokenizer (OoxmlDecode) and segmented by
+      // the same state machine as every other source. One file = one
+      // row into an embarrassingly-parallel flatMap — the 100 TB shape
+      // is a binaryFile scan over an object store. The oracle states
+      // the expected (header, body) segmentation in closed form over
+      // range(nDocx) — content is a pure function of the doc index.
+      val corpus = graft.sources.OoxmlCorpus.ensureDocx()
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(corpus + "/*.docx")
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").stripSuffix(".docx").toInt
+          val md = graft.sources.OoxmlDecode.decodeDocx(bytes)
+          md.documents.iterator.zipWithIndex.flatMap { case (d, di) =>
+            d.paragraphs.iterator.zipWithIndex.map { case (p, pi) =>
+              (fileId, di, pi, p.header.text, p.body.text)
+            }
+          }
+        }
+        .toDF("file_id", "doc_idx", "para_idx", "header", "body")
+    }),
+
+    "q59_remove_repeated_windows" -> ((s, dir) => {
+      // ACL'22 substring-dedup REMOVAL (VERDICT r03 #4): plant one
+      // boilerplate sentence across docs 0-19, then cut every cross-doc
+      // duplicated 8-token window keeping the min-id occurrence; the
+      // oracle replays the whole algorithm in DuckDB and byte-checks
+      // text_clean (any incidental cross-doc 8-grams between the real
+      // document texts are mirrored identically on both sides)
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val planted = d.select(col("doc_id"),
+        when(col("doc_id") < 20,
+          concat(lit("Shared boilerplate header sentence common to " +
+            "many documents in this corpus. "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeRepeatedWindows(planted, "text", "doc_id", n = 8)
+    }),
+
+    "q60_xlsx_decode" -> ((s, dir) => {
+      // REAL XLSX decode (S5 + E1/E2/X2): workbook -> sheets -> cell
+      // model -> beneficiary projection + sheet-name date, per file
+      val corpus = graft.sources.OoxmlCorpus.ensureXlsx()
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(corpus + "/*.xlsx")
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").stripSuffix(".xlsx").toInt
+          val sheets = graft.sources.OoxmlDecode.decodeXlsx(bytes)
+          val date = graft.core.SheetTable
+            .parseDateFromSheetName(sheets.head.name)
+            .map(_.toString).orNull
+          graft.core.SheetTable.parseBeneficiaries(sheets)
+            .map(b => (fileId, date, b.name, b.namePerson))
+        }
+        .toDF("file_id", "sheet_date", "name", "name_person")
     })
   )
 
@@ -716,13 +783,16 @@ object SparkEntry {
     *   - prose turns (single- or multi-line): one paragraph, extracted
     *     text = input verbatim (first line header, rest body, \n joins).
     *
-    * The oracle path is the sf0.01 conv count (300) — the scale the
-    * driver's correctness gate runs at.
+    * The derivation is parameterized by the conv count (VERDICT r03
+    * #5): the driver's correctness gate dumps oracles at its sfDir via
+    * [[oracleSqlFor]], so the flagship oracle covers the sf0.1 table
+    * (2000 convs) when verification runs there, not only the sf0.01
+    * smoke count.
     */
-  private val extractDerivation: String =
-    """WITH raw AS (
+  private def extractDerivation(nConvs: Long): String =
+    s"""WITH raw AS (
          SELECT conv_id, turn_idx, text
-         FROM '/tmp/graft_oracle_turns_300/*.parquet'
+         FROM '/tmp/graft_oracle_turns_$nConvs/*.parquet'
        ), cls AS (
          SELECT conv_id, turn_idx, text,
            string_split(text, chr(10)) AS ls,
@@ -749,9 +819,19 @@ object SparkEntry {
        )
     """
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract surface: oracles at the correctness-gate scale. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracles with the extraction derivation pinned to the conv count
+    * the queries use at `sfDir` (Verify dumps this, so the q26/q27
+    * oracles follow the verification scale — VERDICT r03 #5).
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val nConvs = if (sfDir.endsWith("0.1")) 2000L else 300L
+    val extractDer = extractDerivation(nConvs)
+    Map(
     "q26_extract_transcripts" ->
-      (extractDerivation +
+      (extractDer +
         """SELECT conv_id, turn_idx, n_paras AS "nParas",
              octet_length(encode(extracted)) AS "nBytes",
              CAST(NULL AS VARCHAR) AS error,
@@ -759,7 +839,7 @@ object SparkEntry {
            FROM der"""),
 
     "q27_extract_conv_order" ->
-      (extractDerivation +
+      (extractDer +
         """SELECT conv_id, turn_idx,
              row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
                AS turn_rank,
@@ -920,8 +1000,9 @@ object SparkEntry {
          SELECT doc_id FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> group_id)""",
 
-    // groups keyed by the normalized text itself (the engine's 64-bit
-    // fingerprint is an internal key; the REPORT columns are mirrorable)
+    // groups keyed by the normalized text itself (the engine's 128-bit
+    // md5 fingerprint is an internal key; the REPORT columns are
+    // mirrorable)
     "q54_exact_dup_groups" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -1705,6 +1786,96 @@ object SparkEntry {
                   WHEN contains(g['mo'], 'дек') THEN 12
                   ELSE g['mo']::INT END,
              g['d']::INT), '%Y-%m-%d') AS doc_date
-         FROM m WHERE g['d'] <> ''"""
-  )
+         FROM m WHERE g['d'] <> ''""",
+
+    // the q58 corpus is a pure function of the doc index (byte-stable
+    // synthesized DOCX, OoxmlCorpus.docxBytes), so the oracle states
+    // the expected segmentation in closed form: paragraph 0 = bold
+    // title header + plain body; paragraph 1 = centered section header
+    // + body joined (\n separator rule, Model.scala SegBuilder) from
+    // the plain paragraph, the two "%1."-numbered terms (prefixes
+    // "1. "/"2. "), and the 2-column non-bilingual table cells in row
+    // order; the TOC field paragraph is dropped (F2)
+    "q58_docx_decode" ->
+      """SELECT i::INT AS file_id, 0::INT AS doc_idx, 0::INT AS para_idx,
+                'AGREEMENT DOCUMENT ' || i AS header,
+                'This agreement number ' || i ||
+                  ' is made between the parties.' AS body
+         FROM range(40) t(i)
+         UNION ALL
+         SELECT i::INT, 0::INT, 1::INT,
+                'SECTION ' || i || ' OVERVIEW',
+                'Terms and conditions follow for document ' || i || '.' ||
+                chr(10) || '1. first term of document ' || i ||
+                chr(10) || '2. second term of document ' || i ||
+                chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
+                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i
+         FROM range(40) t(i)""",
+
+    // full replay of the removal algorithm: normalize -> positional
+    // 8-token windows -> cross-doc keys keyed by min-id keeper ->
+    // dup-only covered positions -> anti-join tokens -> ordered
+    // reassembly; text_clean is byte-compared
+    "q59_remove_repeated_windows" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id,
+                  CASE WHEN doc_id < 20
+                       THEN 'Shared boilerplate header sentence common to many documents in this corpus. ' || text
+                       ELSE text END AS text
+           FROM documents
+         ),
+         d AS (
+           SELECT id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM corpus
+         ),
+         wins AS (
+           SELECT id, pos::INT AS pos,
+                  array_to_string(tk[pos+1:pos+8], ' ') AS w
+           FROM (SELECT id, tk,
+                        unnest(range(greatest(len(tk) - 7, 0))) AS pos
+                 FROM d)
+         ),
+         keys AS (
+           SELECT w, min(id) AS keeper
+           FROM (SELECT DISTINCT id, w FROM wins)
+           GROUP BY w HAVING count(*) >= 2
+         ),
+         dropped AS (
+           SELECT wins.id, wins.pos FROM wins
+           JOIN keys USING (w) WHERE wins.id <> keys.keeper
+         ),
+         covered AS (
+           SELECT DISTINCT id, pos + k AS cpos FROM dropped, range(8) r(k)
+         ),
+         toks AS (
+           SELECT id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok
+           FROM d
+         ),
+         kept AS (
+           SELECT t.id, t.pos, t.tok FROM toks t
+           ANTI JOIN covered c ON t.id = c.id AND t.pos = c.cpos
+         ),
+         rebuilt AS (
+           SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY id
+         )
+         SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
+         FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q60: one dated sheet per workbook, title row discovers the two
+    // columns (E1), two data rows project to beneficiaries (E2), the
+    // sheet name carries the date (X2)
+    "q60_xlsx_decode" ->
+      """SELECT w::INT AS file_id,
+                ((2020 + w) || '-03-15') AS sheet_date,
+                'ООО Фирма ' || w || '-1' AS name,
+                'Иванов И.' || w AS name_person
+         FROM range(10) t(w)
+         UNION ALL
+         SELECT w::INT, ((2020 + w) || '-03-15'),
+                'АО Завод ' || w || '-2', 'Петров П.' || w
+         FROM range(10) t(w)"""
+    )
+  }
 }

@@ -273,6 +273,73 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** Cross-document repeated-window REMOVAL — the rewrite half of
+    * substring-level dedup (Lee et al. ACL'22; [[crossDocRepeatedWindows]]
+    * is the detection half). A positional word `n`-gram window whose
+    * content occurs in at least one OTHER document is cut from every
+    * document except the keeper (the minimum id among the documents
+    * containing that window — "keep first occurrence corpus-wide");
+    * every token covered by at least one cut window is removed.
+    *
+    * Operates on NORMALIZED token streams (lowercase, collapsed
+    * whitespace — [[TextStats.normalize]]): output `text_clean` is the
+    * surviving tokens joined by single spaces, which makes the operator
+    * exactly mirrorable in SQL (the q59 oracle replays it in DuckDB and
+    * byte-checks the text). Documents with fewer than `n` tokens have
+    * no windows and pass through normalized-unchanged; a fully-covered
+    * document yields an empty `text_clean` (row kept — dropping it is
+    * the caller's policy choice).
+    *
+    * Scale shape: windows travel as (id, pos, md5-key) rows; the window
+    * frame is materialized once (eager localCheckpoint, [[Collapsed]]
+    * discipline) and scanned twice (key aggregation + the drop join).
+    * The keeper/frequency aggregate has one row per key, so a
+    * boilerplate key in millions of docs joins skew-splittably. Token
+    * removal expands DROPPED windows only (the [[Winnow]] dup-only
+    * rule) into covered positions, anti-joins the token stream, and
+    * reassembles per doc — the per-doc collect is bounded by the doc's
+    * own token count, the same bound as holding the row's text.
+    * Output: (idCol, text_clean).
+    */
+  def removeRepeatedWindows(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
+    // window start positions exist only when the doc has >= n tokens
+    // (an unguarded sequence(0, size-n) would COUNT DOWN for short
+    // docs — Spark's sequence defaults to step -1 when start > stop)
+    val winRows = base.select(col("_id"),
+        posexplode(when(size(col("_tk")) >= n,
+          transform(sequence(lit(0), size(col("_tk")) - n),
+            j => md5(array_join(slice(col("_tk"), j + 1, lit(n)), " "))))
+          .otherwise(array())))
+      .toDF("_id", "_pos", "_wk")
+      .localCheckpoint(true)
+    val keys = winRows.select("_id", "_wk").distinct()
+      .groupBy("_wk").agg(min("_id").as("_keeper"), count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select("_wk", "_keeper")
+    val covered = winRows.join(keys, "_wk")
+      .filter(col("_id") =!= col("_keeper"))
+      .select(col("_id"), explode(sequence(col("_pos"),
+        col("_pos") + (n - 1))).as("_cpos"))
+      .distinct()
+    val toks = base.select(col("_id"),
+      posexplode(col("_tk")).as(Seq("_pos", "_tok")))
+    val kept = toks.join(covered,
+      toks("_id") === covered("_id") && col("_pos") === col("_cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos").as("p"),
+          col("_tok").as("t")))), s => s.getField("t")), " ")
+        .as("text_clean"))
+    df.select(col(idCol), col(idCol).cast("long").as("_id"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   // ---------- shingles / jaccard ----------
 
   /** Evaluate `c` ONCE and pass the value to `f` as a bound lambda

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path}
+
+/** Deterministic OOXML corpora for the decode oracle queries (q58/q60).
+  * Content is a pure function of the document index (and the zip is
+  * byte-stable, [[OoxmlSynth.zip]]), so the DuckDB oracle can state the
+  * expected extraction in closed form over `range(n)` — no external
+  * data, per the round's input contract. Written once under /tmp and
+  * reused (the _SUCCESS marker makes generation idempotent across
+  * concurrent query construction).
+  */
+object OoxmlCorpus {
+
+  val nDocx = 40
+  val nXlsx = 10
+
+  /** The q58 corpus document for id i: a bold title (header via
+    * all-runs-bold), a plain body, a centered section header (header
+    * via alignment), numbered terms (ListRef prefixing "1. "/"2. "),
+    * a TOC field paragraph (skipped by F2), and a 2-column
+    * non-bilingual table (rows CanNot -> body). Expected segmentation
+    * is pinned in OoxmlDecodeSpec AND in the q58 oracle SQL.
+    */
+  def docxBytes(i: Int): Array[Byte] = {
+    import OoxmlSynth.{P, Tbl}
+    OoxmlSynth.docx(Seq(
+      P(Seq(s"AGREEMENT DOCUMENT $i" -> Some(true))),
+      P.plain(s"This agreement number $i is made between the parties."),
+      P(Seq(s"SECTION $i OVERVIEW" -> None), center = true),
+      P.plain(s"Terms and conditions follow for document $i."),
+      P(Seq(s"first term of document $i" -> None), numId = 1),
+      P(Seq(s"second term of document $i" -> None), numId = 1),
+      P(Seq(s"Contents $i" -> None), toc = true),
+      Tbl(Seq(Seq(s"alpha $i", s"beta $i"), Seq(s"gamma $i", s"delta $i")))))
+  }
+
+  /** The q60 workbook for id w: one dated sheet (X2 surface) holding a
+    * title row (E1 column discovery) and two beneficiary rows (E2
+    * projection). Years 2020+w keep the dates distinct per file.
+    */
+  def xlsxBytes(w: Int): Array[Byte] =
+    OoxmlSynth.xlsx(Seq(
+      s"Выписка 15.03.${2020 + w}" -> Seq(
+        Seq("Наименование", "Наименование компании и ФИО владельца"),
+        Seq(s"ООО Фирма $w-1", s"Иванов И.$w"),
+        Seq(s"АО Завод $w-2", s"Петров П.$w"))))
+
+  private def ensure(dir: String, n: Int, ext: String,
+                     gen: Int => Array[Byte]): String = synchronized {
+    val d = Paths.get(dir)
+    if (!Files.exists(d.resolve("_SUCCESS"))) {
+      Files.createDirectories(d)
+      for (i <- 0 until n) {
+        val p = d.resolve(f"doc_$i%05d.$ext")
+        Files.write(p, gen(i))
+      }
+      Files.write(d.resolve("_SUCCESS"), Array.emptyByteArray)
+    }
+    dir
+  }
+
+  def ensureDocx(): String =
+    ensure("/tmp/graft_docx_corpus_v1", nDocx, "docx", docxBytes)
+
+  def ensureXlsx(): String =
+    ensure("/tmp/graft_xlsx_corpus_v1", nXlsx, "xlsx", xlsxBytes)
+}

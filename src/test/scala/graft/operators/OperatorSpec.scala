@@ -15,6 +15,28 @@ class OperatorSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("removeRepeatedWindows cuts cross-doc spans, keeps first " +
+    "occurrence corpus-wide (ACL'22 removal half)") {
+    val d = docs(
+      1L -> "alpha beta gamma delta unique one",
+      2L -> "alpha beta gamma delta unique two",
+      3L -> "totally different content here",
+      4L -> "tiny doc",
+      5L -> "alpha beta gamma delta")
+    val out = Dedup.removeRepeatedWindows(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is the min-id keeper of every shared window: untouched
+    assert(out(1L) == "alpha beta gamma delta unique one")
+    // doc 2 loses positions covered by its three shared windows (0..4)
+    assert(out(2L) == "two")
+    // doc 3 shares nothing: normalized pass-through
+    assert(out(3L) == "totally different content here")
+    // doc 4 has < n tokens: no windows, pass-through
+    assert(out(4L) == "tiny doc")
+    // doc 5 is fully covered by shared windows: empty, row KEPT
+    assert(out(5L) == "")
+  }
+
   test("exact dedup groups and representative selection") {
     val d = docs(
       1L -> "Hello   World", 2L -> "hello world", 3L -> "unique text here",

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-decode net for the JDK-only OOXML tokenizers (VERDICT r03 #3):
+  * synthesized byte-stable containers in, segmenter-contract elements
+  * out, with the reference's style/bold/numbering quirks pinned.
+  */
+class OoxmlDecodeSpec extends AnyFunSuite {
+
+  import OoxmlSynth.{P, Tbl}
+
+  test("zip round-trip is byte-stable and entry-complete") {
+    val b1 = OoxmlSynth.docx(Seq(P.plain("hello")))
+    val b2 = OoxmlSynth.docx(Seq(P.plain("hello")))
+    assert(b1.sameElements(b2), "same spec must give identical bytes")
+    val entries = OoxmlDecode.zipEntries(b1)
+    assert(entries.contains("word/document.xml"))
+    assert(entries.contains("word/styles.xml"))
+    assert(entries.contains("word/numbering.xml"))
+  }
+
+  test("style bold resolution: explicit, basedOn recursion, no-rPr quirk") {
+    val entries = OoxmlDecode.zipEntries(OoxmlSynth.docx(Seq(P.plain("x"))))
+    val styles = OoxmlDecode.parseStyles(entries("word/styles.xml"))
+    assert(OoxmlDecode.resolveBold(styles, "Head1"), "explicit w:b")
+    assert(OoxmlDecode.resolveBold(styles, "Derived1"),
+      "rPr present, b unset -> basedOn recursion finds bold")
+    // the reference's isBold(document, styleID) returns false WITHOUT
+    // consulting basedOn when the style has no rPr at all
+    // (DocumentParser.java:949-966)
+    assert(!OoxmlDecode.resolveBold(styles, "NoRpr"), "no rPr -> false")
+    assert(!OoxmlDecode.resolveBold(styles, "Plain1"), "b w:val=0 -> false")
+    assert(!OoxmlDecode.resolveBold(styles, "Missing1"), "unknown style")
+  }
+
+  test("numbering: numId -> abstractNum level (numFmt, lvlText, start)") {
+    val entries = OoxmlDecode.zipEntries(OoxmlSynth.docx(Seq(P.plain("x"))))
+    val num = OoxmlDecode.parseNumbering(entries.get("word/numbering.xml"))
+    val l0 = num.listRef(1, 0)
+    assert(l0 == ListRef(0, 0, "decimal", "%1.", 1))
+    val l1 = num.listRef(1, 1)
+    assert(l1 == ListRef(0, 1, "decimal", "%1.%2.", 1))
+    // unmapped numId falls back to itself as the list key (the
+    // reference's abstractNumId-null path, DocumentParser.java:539-546)
+    assert(num.listRef(9, 0).listId == 9)
+  }
+
+  test("document decode: attributes reach the Element stream") {
+    val bytes = OoxmlSynth.docx(Seq(
+      P(Seq("TITLE" -> Some(true))),
+      P.plain("plain body text"),
+      P(Seq("centered" -> None), center = true),
+      P(Seq("styled" -> None), style = "Head1"),
+      P(Seq("indented" -> None), indentLeft = 4000), // 4000/12240 > 0.25
+      P(Seq("item one" -> None), numId = 1),
+      P(Seq("Contents line" -> None), toc = true),
+      P(Seq("after break" -> None), pageBreakBefore = true),
+      Tbl(Seq(Seq("a1", "b1"), Seq("a2", "b2")))))
+    val els = OoxmlDecode.docxBodyElements(bytes)
+    assert(els.size == 9)
+    val ps = els.collect { case ParaElement(e) => e }
+    assert(ps(0).runs == Seq(Run("TITLE", Some(true))))
+    assert(ps(1).text == "plain body text" && ps(1).runs.head.bold.isEmpty)
+    assert(ps(2).align == Align.Center)
+    assert(ps(3).styleBoldChain == Seq(true), "pStyle joins the chain")
+    assert(ps(4).indentRatio > 0.25f && ps(4).indentRatio < 0.4f)
+    assert(ps(5).listRef.contains(ListRef(0, 0, "decimal", "%1.", 1)))
+    assert(ps(6).isToc, "PAGEREF _Toc field")
+    assert(ps(7).canBeHeader.contains(CanBeHeader.Must), "page break")
+    val tbl = els.collect { case t: TableElement => t }.head
+    assert(tbl.rows.size == 2 && tbl.rows.head.size == 2)
+    assert(tbl.rows.head.head.head.text == "a1")
+  }
+
+  test("q58 document shape segments to the closed-form expectation") {
+    val i = 7
+    val bytes = OoxmlCorpus.docxBytes(i)
+    val md = OoxmlDecode.decodeDocx(bytes)
+    assert(md.documents.size == 1)
+    val paras = md.documents.head.paragraphs
+    assert(paras.size == 2, paras.map(p => (p.header.text, p.body.text)))
+    assert(paras(0).header.text == s"AGREEMENT DOCUMENT $i")
+    assert(paras(0).body.text ==
+      s"This agreement number $i is made between the parties.")
+    assert(paras(1).header.text == s"SECTION $i OVERVIEW")
+    assert(paras(1).body.text ==
+      s"Terms and conditions follow for document $i.\n" +
+      s"1. first term of document $i\n2. second term of document $i\n" +
+      s"alpha $i\nbeta $i\ngamma $i\ndelta $i")
+  }
+
+  test("xlsx decode: sheets, shared strings, cell model, beneficiaries") {
+    val bytes = OoxmlSynth.xlsx(Seq(
+      "Выписка 01.03.2020" -> Seq(
+        Seq("Наименование", "Наименование компании и ФИО владельца"),
+        Seq("ООО Ромашка", "Иванов И.И."),
+        Seq("АО Лютик", "Петров П.П.")),
+      "Sheet2" -> Seq(Seq("x"))))
+    val sheets = OoxmlDecode.decodeXlsx(bytes)
+    assert(sheets.map(_.name) == Seq("Выписка 01.03.2020", "Sheet2"))
+    assert(sheets.head.rows.size == 3)
+    assert(sheets.head.rows.head.cells.head ==
+      SheetTable.Cell(0, "STRING", "Наименование"))
+    val bens = SheetTable.parseBeneficiaries(sheets)
+    assert(bens.map(b => (b.name, b.namePerson)) ==
+      Seq(("ООО Ромашка", "Иванов И.И."), ("АО Лютик", "Петров П.П.")))
+    assert(SheetTable.parseDateFromSheetName(sheets.head.name)
+      .contains(java.time.LocalDate.of(2020, 3, 1)))
+  }
+
+  test("column index decode: A, Z, AA, BC") {
+    assert(OoxmlDecode.colIndex("A1") == 0)
+    assert(OoxmlDecode.colIndex("Z9") == 25)
+    assert(OoxmlDecode.colIndex("AA12") == 26)
+    assert(OoxmlDecode.colIndex("BC3") == 54)
+  }
+
+  test("zip-bomb guard throws past the inflation cap") {
+    // a highly-compressible entry (1 MB of zeros) against a 100 KB cap:
+    // the guard must fire while INFLATING, not after buffering
+    val bomb = OoxmlSynth.zip(Seq("word/document.xml" -> ("x" * 1000000)))
+    intercept[IllegalArgumentException] {
+      OoxmlDecode.zipEntries(bomb, cap = 100000L)
+    }
+    // and the default cap admits it fine
+    assert(OoxmlDecode.zipEntries(bomb).contains("word/document.xml"))
+  }
+}
