@@ -726,6 +726,34 @@ object SparkEntry {
         .toDF("file_id", "doc_idx", "para_idx", "header", "body")
     }),
 
+    "q61_ivf_layout" -> ((s, dir) => {
+      // the IVF LAYOUT end-to-end (VERDICT r03 #8): ivfIndex written
+      // partitioned by list_id, probed through the partition-pruned
+      // scan — the query THROWS unless the executed plan actually
+      // carries a PartitionFilters predicate on list_id, so a pruning
+      // regression turns this CORRECTNESS row red. Same result set as
+      // q46 (layout changes the physical path, not the answer).
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0)
+      val pivots = Similarity.samplePivots(e, "embedding", "vec_id", 16)
+      val suffix = dir.replaceAll("[^0-9.]", "")
+      val layout = s"/tmp/graft_ivf_layout_$suffix"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(layout, "_SUCCESS"))) {
+        Similarity.ivfIndex(e, "embedding", pivots)
+          .write.partitionBy("list_id").mode("overwrite").parquet(layout)
+      }
+      val result = Similarity.ivfTopKIndexed(s.read.parquet(layout),
+        "embedding", "vec_id", qv, 10, pivots, nprobe = 4)
+      val plan = result.queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[[^\\]]*list_id".r
+          .findFirstIn(plan).isDefined,
+        "IVF layout probe must partition-prune on list_id; plan:\n" + plan)
+      result
+    }),
+
     "q59_remove_repeated_windows" -> ((s, dir) => {
       // ACL'22 substring-dedup REMOVAL (VERDICT r03 #4): plant one
       // boilerplate sentence across docs 0-19, then cut every cross-doc
@@ -829,7 +857,7 @@ object SparkEntry {
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val nConvs = if (sfDir.endsWith("0.1")) 2000L else 300L
     val extractDer = extractDerivation(nConvs)
-    Map(
+    val m = Map(
     "q26_extract_transcripts" ->
       (extractDer +
         """SELECT conv_id, turn_idx, n_paras AS "nParas",
@@ -1877,5 +1905,8 @@ object SparkEntry {
                 'АО Завод ' || w || '-2', 'Петров П.' || w
          FROM range(10) t(w)"""
     )
+    // q61 probes the list_id-partitioned layout: the physical path
+    // differs (partition-pruned scan), the answer is exactly q46's
+    m + ("q61_ivf_layout" -> m("q46_ivf_ann"))
   }
 }

@@ -157,15 +157,39 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Double], k: Int, pivots: Array[Array[Double]],
-              nprobe: Int = 4): DataFrame = {
-    val probes = pivots.zipWithIndex.map { case (p, i) =>
+              nprobe: Int = 4): DataFrame =
+    ivfTopKIndexed(df.withColumn("list_id", listAssign(col(vecCol), pivots)),
+      vecCol, idCol, query, k, pivots, nprobe)
+
+  /** Probe list selection (driver-side — the pivot table is
+    * driver-resident): indexes of the `nprobe` pivots nearest the query
+    * by cosine distance, ties to the lower index.
+    */
+  def probeLists(query: Seq[Double], pivots: Array[Array[Double]],
+                 nprobe: Int): Seq[Int] =
+    pivots.zipWithIndex.map { case (p, i) =>
       val d = dotS(p, query.toArray)
-      val n = math.sqrt(p.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum)
+      val n = math.sqrt(p.map(x => x * x).sum) *
+        math.sqrt(query.map(x => x * x).sum)
       (if (n == 0) 1.0 else 1.0 - d / n, i)
-    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2)
+    }.sortBy { case (d, i) => (d, i) }.take(nprobe).map(_._2).toSeq
+
+  /** IVF top-k over a frame that ALREADY carries `list_id` — the
+    * layout-written path ([[ivfIndex]] scaladoc): when the frame is a
+    * parquet/Iceberg table partitioned by `list_id`, the probe filter
+    * is a pure partition predicate, so the scan reads nprobe/nlist of
+    * the corpus (PartitionFilters — asserted at runtime by the q61
+    * oracle query and IvfSpec). This is the 100 TB query path; the
+    * assignment math runs only at index-build time.
+    */
+  def ivfTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int,
+                     pivots: Array[Array[Double]],
+                     nprobe: Int = 4): DataFrame = {
+    val probes = probeLists(query, pivots, nprobe)
     val q = array(query.map(lit): _*)
-    df.withColumn("list_id", listAssign(col(vecCol), pivots))
-      .filter(col("list_id").isin(probes.map(Integer.valueOf).toSeq: _*))
+    indexed
+      .filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
       .select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -133,5 +133,18 @@ class IvfSpec extends AnyFunSuite {
     val lists = probed.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(lists.subsetOf(Set(0, 1)))
+    // the layout-written query path (ivfTopKIndexed) returns exactly
+    // what the inline-assignment path computes — layout changes the
+    // physical plan, never the answer (q61's contract)
+    val qv = clustered.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val viaLayout = Similarity.ivfTopKIndexed(indexed, "embedding",
+        "vec_id", qv, 5, pivots, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.ivfTopK(clustered, "embedding",
+        "vec_id", qv, 5, pivots, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLayout == inline)
   }
 }
