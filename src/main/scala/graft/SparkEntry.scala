@@ -754,6 +754,32 @@ object SparkEntry {
       result
     }),
 
+    "q62_doc_decode" -> ((s, dir) => {
+      // REAL MS-DOC binary decode (S2): CFB/OLE2 container -> FIB ->
+      // piece table -> CHPX/PAPX FKPs -> DOC-dialect elements ->
+      // the A1 segmentation fold, over binaryFile like q58. The oracle
+      // states the expected (header, body) rows in closed form over
+      // range(nDoc62) — including the DocumentParser.java:179
+      // unconditional leading-space quirk.
+      val corpus = graft.sources.OoxmlCorpus.ensureDoc62()
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(corpus + "/*.doc")
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").stripSuffix(".doc").toInt
+          val md = graft.sources.DocDecode.decodeDoc(bytes)
+          md.documents.iterator.zipWithIndex.flatMap { case (d, di) =>
+            d.paragraphs.iterator.zipWithIndex.map { case (p, pi) =>
+              (fileId, di, pi, p.header.text, p.body.text)
+            }
+          }
+        }
+        .toDF("file_id", "doc_idx", "para_idx", "header", "body")
+    }),
+
     "q59_remove_repeated_windows" -> ((s, dir) => {
       // ACL'22 substring-dedup REMOVAL (VERDICT r03 #4): plant one
       // boilerplate sentence across docs 0-19, then cut every cross-doc
@@ -1890,6 +1916,24 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q62: real Word97 binaries; every DOC-dialect paragraph carries
+    // the :179 unconditional leading space
+    "q62_doc_decode" ->
+      """SELECT i::INT AS file_id, 0::INT AS doc_idx, 0::INT AS para_idx,
+                ' AGREEMENT ' || i || ' TITLE' AS header,
+                ' agreement body text number ' || i || ' lorem' AS body
+         FROM range(20) t(i)
+         UNION ALL
+         SELECT i::INT, 0::INT, 1::INT,
+                ' Section ' || i || ' details',
+                ' closing details for document ' || i
+         FROM range(20) t(i)
+         UNION ALL
+         SELECT i::INT, 0::INT, 2::INT,
+                ' indented note ' || i,
+                ' final remark ' || i
+         FROM range(20) t(i)""",
 
     // q60: one dated sheet per workbook, title row discovers the two
     // columns (E1), two data rows project to beneficiaries (E2), the

@@ -46,6 +46,26 @@ object OoxmlCorpus {
         Seq(s"ООО Фирма $w-1", s"Иванов И.$w"),
         Seq(s"АО Завод $w-2", s"Петров П.$w"))))
 
+  val nDoc62 = 20
+
+  /** The q62 corpus document for id i: a real Word97 binary (.doc) —
+    * bold all-caps title (header via the per-run bold/caps test of the
+    * DOC predicate), plain body, jc=center header, body, indented
+    * header (dxaLeft 4000/12240 > 0.25), body. Expected segmentation
+    * (incl. the DocumentParser.java:179 unconditional leading space)
+    * pinned in DocDecodeSpec AND the q62 oracle SQL.
+    */
+  def docBytes62(i: Int): Array[Byte] = {
+    import DocSynth.DocP
+    DocSynth.doc(Seq(
+      DocP(s"AGREEMENT $i TITLE", bold = true),
+      DocP(s"agreement body text number $i lorem"),
+      DocP(s"Section $i details", jc = 1),
+      DocP(s"closing details for document $i"),
+      DocP(s"indented note $i", dxaLeft = 4000),
+      DocP(s"final remark $i")))
+  }
+
   private def ensure(dir: String, n: Int, ext: String,
                      gen: Int => Array[Byte]): String = synchronized {
     val d = Paths.get(dir)
@@ -65,4 +85,7 @@ object OoxmlCorpus {
 
   def ensureXlsx(): String =
     ensure("/tmp/graft_xlsx_corpus_v1", nXlsx, "xlsx", xlsxBytes)
+
+  def ensureDoc62(): String =
+    ensure("/tmp/graft_doc_corpus_v1", nDoc62, "doc", docBytes62)
 }

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-decode net for the MS-DOC (OLE2/CFB + Word97) tokenizer:
+  * synthesized byte-stable .doc containers in, DOC-dialect Element
+  * streams out, segmented by the same A1 fold as the `^D` fixtures.
+  */
+class DocDecodeSpec extends AnyFunSuite {
+
+  import DocSynth.DocP
+
+  test("cfb round-trip: streams come back byte-exact") {
+    val payload = Array.tabulate[Byte](5000)(i => (i % 251).toByte)
+    val bytes = DocSynth.cfb(Seq("Alpha" -> payload, "Beta" -> payload))
+    val streams = CfbDecode.streams(bytes)
+    assert(streams.keySet == Set("Alpha", "Beta"))
+    // content padded to the mini cutoff; the original prefix is intact
+    assert(streams("Alpha").take(5000).sameElements(payload))
+    // byte-stable: same spec, same bytes
+    assert(bytes.sameElements(
+      DocSynth.cfb(Seq("Alpha" -> payload, "Beta" -> payload))))
+  }
+
+  test("cfb reader rejects garbage and cyclic chains") {
+    intercept[IllegalArgumentException] {
+      CfbDecode.streams("not a cfb at all, definitely".getBytes)
+    }
+    val good = DocSynth.cfb(Seq("S" -> new Array[Byte](4096)))
+    // corrupt the FAT so the stream chain points at itself -> must
+    // terminate with an error, not loop
+    val bad = good.clone()
+    // FAT sector 0 begins at offset 512; stream start sector is 2
+    // (fat, dir, stream); make fat[2] = 2 (self-cycle)
+    java.nio.ByteBuffer.wrap(bad, 512 + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(2)
+    intercept[IllegalArgumentException] { CfbDecode.streams(bad) }
+  }
+
+  test("doc decode: text, runs, bold, justification, indent reach the " +
+    "Element stream as DOC dialect") {
+    val bytes = DocSynth.doc(Seq(
+      DocP("TITLE LINE", bold = true),
+      DocP("plain body"),
+      DocP("Centered line", jc = 1),
+      DocP("indented line", dxaLeft = 4000),
+      DocP("after break", pageBreakBefore = true)))
+    val els = DocDecode.docBodyElements(bytes)
+      .collect { case ParaElement(e) => e }
+    assert(els.size == 5)
+    assert(els.forall(_.docDialect), "DOC dialect flag on every element")
+    assert(els(0).text == "TITLE LINE")
+    assert(els(0).runs == Seq(Run("TITLE LINE", Some(true))))
+    assert(els(1).runs.head.bold.isEmpty, "no CHPX -> bold unset")
+    assert(els(2).justification == 1)
+    assert(els(3).indentRatio > 0.25f)
+    assert(els(4).canBeHeader.contains(CanBeHeader.Must))
+  }
+
+  test("q62 document shape segments to the closed-form expectation " +
+    "(incl. the :179 unconditional leading-space quirk)") {
+    val i = 5
+    val md = DocDecode.decodeDoc(OoxmlCorpus.docBytes62(i))
+    assert(md.documents.size == 1)
+    val paras = md.documents.head.paragraphs
+    assert(paras.size == 3, paras.map(p => (p.header.text, p.body.text)))
+    assert(paras(0).header.text == s" AGREEMENT $i TITLE")
+    assert(paras(0).body.text == s" agreement body text number $i lorem")
+    assert(paras(1).header.text == s" Section $i details")
+    assert(paras(1).body.text == s" closing details for document $i")
+    assert(paras(2).header.text == s" indented note $i")
+    assert(paras(2).body.text == s" final remark $i")
+  }
+
+  test("unicode piece: UTF-16 text pieces decode (the fCompressed=0 path)") {
+    // cp1252 guard rejects non-latin unless the unicode piece is used
+    intercept[IllegalArgumentException] {
+      DocSynth.doc(Seq(DocP("кириллица")))
+    }
+    val bytes = DocSynth.doc(Seq(
+      DocP("ЗАГОЛОВОК ДОКУМЕНТА", bold = true),
+      DocP("обычный текст тела")), unicode = true)
+    val els = DocDecode.docBodyElements(bytes)
+      .collect { case ParaElement(e) => e }
+    assert(els.map(_.text) ==
+      Seq("ЗАГОЛОВОК ДОКУМЕНТА", "обычный текст тела"))
+    assert(els(0).runs == Seq(Run("ЗАГОЛОВОК ДОКУМЕНТА", Some(true))))
+    // and the Cyrillic caps header routes through the DOC predicate
+    val md = DocDecode.decodeDoc(bytes)
+    assert(md.documents.head.paragraphs.head.header.text ==
+      " ЗАГОЛОВОК ДОКУМЕНТА")
+  }
+}
