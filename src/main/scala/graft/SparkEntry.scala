@@ -754,6 +754,30 @@ object SparkEntry {
       result
     }),
 
+    "q63_xls_decode" -> ((s, dir) => {
+      // REAL BIFF8 (.xls) decode (E3 + the XLS half of S5): CFB ->
+      // Workbook stream -> SST/BoundSheet8 -> per-sheet LabelSst cells
+      // -> the same beneficiary projection as q60; oracle = q60's
+      // closed form (same content, different binary container)
+      val corpus = graft.sources.OoxmlCorpus.ensureXls()
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(corpus + "/*.xls")
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").stripSuffix(".xls").toInt
+          val sheets = graft.sources.XlsDecode.decodeXls(bytes)
+          val date = graft.core.SheetTable
+            .parseDateFromSheetName(sheets.head.name)
+            .map(_.toString).orNull
+          graft.core.SheetTable.parseBeneficiaries(sheets)
+            .map(b => (fileId, date, b.name, b.namePerson))
+        }
+        .toDF("file_id", "sheet_date", "name", "name_person")
+    }),
+
     "q62_doc_decode" -> ((s, dir) => {
       // REAL MS-DOC binary decode (S2): CFB/OLE2 container -> FIB ->
       // piece table -> CHPX/PAPX FKPs -> DOC-dialect elements ->
@@ -1950,7 +1974,10 @@ object SparkEntry {
          FROM range(10) t(w)"""
     )
     // q61 probes the list_id-partitioned layout: the physical path
-    // differs (partition-pruned scan), the answer is exactly q46's
-    m + ("q61_ivf_layout" -> m("q46_ivf_ann"))
+    // differs (partition-pruned scan), the answer is exactly q46's.
+    // q63 decodes the q60 content shape from BIFF8 binaries: same
+    // expected rows, different container format.
+    m + ("q61_ivf_layout" -> m("q46_ivf_ann")) +
+      ("q63_xls_decode" -> m("q60_xlsx_decode"))
   }
 }

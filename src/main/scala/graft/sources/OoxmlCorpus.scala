@@ -88,4 +88,18 @@ object OoxmlCorpus {
 
   def ensureDoc62(): String =
     ensure("/tmp/graft_doc_corpus_v1", nDoc62, "doc", docBytes62)
+
+  /** The q63 workbook for id w — the q60 content shape as a REAL BIFF8
+    * .xls (Cyrillic titles exercise the UTF-16 SST path), so q63's
+    * oracle is q60's closed form.
+    */
+  def xlsBytes(w: Int): Array[Byte] =
+    XlsSynth.xls(Seq(
+      s"Выписка 15.03.${2020 + w}" -> Seq(
+        Seq("Наименование", "Наименование компании и ФИО владельца"),
+        Seq(s"ООО Фирма $w-1", s"Иванов И.$w"),
+        Seq(s"АО Завод $w-2", s"Петров П.$w"))))
+
+  def ensureXls(): String =
+    ensure("/tmp/graft_xls_corpus_v1", nXlsx, "xls", xlsBytes)
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic XLS (BIFF8) synthesizer: real CFB containers holding a
+  * real Workbook stream (globals: BOF + SST + BoundSheet8 + EOF; one
+  * worksheet substream per sheet: BOF + LabelSst cells + EOF) — for the
+  * q63 decode oracle and XlsDecodeSpec. Byte-stable (no timestamps in
+  * BIFF or CFB), same discipline as [[OoxmlSynth]]/[[DocSynth]]. All
+  * cell values ride the SST as STRING cells (the only type the
+  * reference's beneficiary scan consumes, `ExcelParser.java:160`);
+  * strings are written UTF-16 when any char exceeds Latin-1.
+  */
+object XlsSynth {
+
+  private def u16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def i32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def rec(sid: Int, payload: Array[Byte]): Array[Byte] =
+    u16(sid) ++ u16(payload.length) ++ payload
+
+  private def bof(dt: Int): Array[Byte] =
+    rec(0x0809, u16(0x0600) ++ u16(dt) ++ u16(0x0DBB) ++ u16(0x07CC) ++
+      i32(0) ++ i32(0x0006))
+
+  private def xlStr(s: String): Array[Byte] = {
+    val high = s.exists(_ > 0xFF)
+    u16(s.length) ++ Array((if (high) 1 else 0).toByte) ++
+      (if (high) s.getBytes("UTF-16LE") else s.getBytes("ISO-8859-1"))
+  }
+
+  /** Build an .xls: `sheets` = name -> rows -> STRING cells. */
+  def xls(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
+    val allStrings = sheets.flatMap(_._2.flatten)
+    val unique = allStrings.distinct
+    val sstIndex = unique.zipWithIndex.toMap
+
+    // worksheet substreams (positions patched into BoundSheet8 below)
+    val sheetBytes = sheets.map { case (_, rows) =>
+      val out = new ByteArrayOutputStream()
+      out.write(bof(0x0010))
+      for ((cells, rw) <- rows.zipWithIndex; (v, colIdx) <- cells.zipWithIndex)
+        out.write(rec(0x00FD,
+          u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(sstIndex(v))))
+      out.write(rec(0x000A, Array.emptyByteArray))
+      out.toByteArray
+    }
+
+    // globals: BOF + SST + BoundSheet8 per sheet + EOF; BoundSheet8
+    // length depends only on the names, so positions resolve in one pass
+    val sstPayload = {
+      val out = new ByteArrayOutputStream()
+      out.write(i32(allStrings.length)); out.write(i32(unique.length))
+      unique.foreach(s => out.write(xlStr(s)))
+      out.toByteArray
+    }
+    require(sstPayload.length <= 8224,
+      "synth SST exceeds one BIFF record (Continue records not written)")
+    def boundSheet(name: String, pos: Int): Array[Byte] = {
+      val high = name.exists(_ > 0xFF)
+      rec(0x0085, i32(pos) ++ u16(0x0000) ++
+        Array(name.length.toByte, (if (high) 1 else 0).toByte) ++
+        (if (high) name.getBytes("UTF-16LE") else name.getBytes("ISO-8859-1")))
+    }
+    val globalsLen = bof(0).length + rec(0x00FC, sstPayload).length +
+      sheets.map(s => boundSheet(s._1, 0).length).sum + 4
+    val positions = sheetBytes.scanLeft(globalsLen)(_ + _.length).init
+    val out = new ByteArrayOutputStream()
+    out.write(bof(0x0005))
+    out.write(rec(0x00FC, sstPayload))
+    for ((s, pos) <- sheets.zip(positions)) out.write(boundSheet(s._1, pos))
+    out.write(rec(0x000A, Array.emptyByteArray))
+    require(out.size == globalsLen, s"globals length ${out.size} != $globalsLen")
+    sheetBytes.foreach(out.write)
+    DocSynth.cfb(Seq("Workbook" -> out.toByteArray))
+  }
+}

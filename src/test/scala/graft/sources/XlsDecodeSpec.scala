@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.core.SheetTable
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-decode net for the BIFF8 (.xls) tokenizer: synthesized
+  * byte-stable workbooks in, the POI cell model out, beneficiary
+  * extraction and sheet-name dates running unchanged on binary bytes.
+  */
+class XlsDecodeSpec extends AnyFunSuite {
+
+  test("biff8 round-trip: sheets, SST strings (8-bit + UTF-16), cells") {
+    val bytes = XlsSynth.xls(Seq(
+      "Sheet One" -> Seq(Seq("alpha", "beta"), Seq("gamma")),
+      "Лист 2" -> Seq(Seq("Кириллица", "mixed"))))
+    assert(bytes.sameElements(XlsSynth.xls(Seq(
+      "Sheet One" -> Seq(Seq("alpha", "beta"), Seq("gamma")),
+      "Лист 2" -> Seq(Seq("Кириллица", "mixed"))))), "byte-stable")
+    val sheets = XlsDecode.decodeXls(bytes)
+    assert(sheets.map(_.name) == Seq("Sheet One", "Лист 2"))
+    assert(sheets(0).rows.map(_.cells.map(_.value)) ==
+      Seq(Seq("alpha", "beta"), Seq("gamma")))
+    assert(sheets(0).rows.head.cells.head ==
+      SheetTable.Cell(0, "STRING", "alpha"))
+    assert(sheets(1).rows.head.cells.map(_.value) ==
+      Seq("Кириллица", "mixed"))
+  }
+
+  test("q63 workbook: beneficiaries + sheet date from real .xls bytes") {
+    val sheets = XlsDecode.decodeXls(OoxmlCorpus.xlsBytes(3))
+    assert(sheets.map(_.name) == Seq("Выписка 15.03.2023"))
+    val bens = SheetTable.parseBeneficiaries(sheets)
+    assert(bens.map(b => (b.name, b.namePerson)) ==
+      Seq(("ООО Фирма 3-1", "Иванов И.3"), ("АО Завод 3-2", "Петров П.3")))
+    assert(SheetTable.parseDateFromSheetName(sheets.head.name)
+      .contains(java.time.LocalDate.of(2023, 3, 15)))
+  }
+
+  test("not-an-xls containers are rejected") {
+    intercept[IllegalArgumentException] {
+      XlsDecode.decodeXls(DocSynth.cfb(Seq("Other" -> new Array[Byte](4096))))
+    }
+  }
+}
