@@ -354,7 +354,7 @@ object SparkEntry {
     "q27_extract_conv_order" -> ((s, dir) => {
       val nConvs = if (dir.endsWith("0.1")) 2000L else 300L
       val extracted = ExtractPipeline.extractNarrow(
-        s.read.parquet(oracleTurnsPath(s, 300)))
+        s.read.parquet(oracleTurnsPath(s, nConvs)))
       ExtractPipeline.withConvOrder(extracted)
         .select(col("conv_id"), col("turn_idx"), col("turn_rank"),
           col("conv_char_offset"))
@@ -752,6 +752,35 @@ object SparkEntry {
           .findFirstIn(plan).isDefined,
         "IVF layout probe must partition-prune on list_id; plan:\n" + plan)
       result
+    }),
+
+    "q64_pdf_decode" -> ((s, dir) => {
+      // REAL PDF decode (S4 + P1): object scan -> page tree -> content
+      // interpreter (text matrix + fill-path harvest) -> the geometry
+      // kernel P2-P8 (grid selection, cell assignment, skip-row title
+      // quirk, cross-page row stitch) -> stakeholders. Even-id files
+      // are FlateDecode-compressed, odd uncompressed — same answer.
+      val corpus = graft.sources.OoxmlCorpus.ensurePdf()
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(corpus + "/*.pdf")
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").stripSuffix(".pdf").toInt
+          val pages = graft.sources.PdfDecode.pages(bytes)
+          val w = graft.sources.PdfDecode.pageWidth(bytes)
+          graft.core.PdfTable.parseStakeholderPages(pages, w)
+            .zipWithIndex.map { case (st, si) =>
+              (fileId, si, st.name,
+                if (st.share == null) null else st.share.toString,
+                st.reasons.map(_.text).mkString("|"),
+                st.reasons.map(r => if (r.date == null) "" else r.date.toString)
+                  .mkString("|"))
+            }
+        }
+        .toDF("file_id", "s_idx", "name", "share", "reasons", "reason_dates")
     }),
 
     "q63_xls_decode" -> ((s, dir) => {
@@ -1940,6 +1969,30 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q64: real PDFs; the 9 stakeholders per filing are closed-form —
+    // 3 data rows, the cross-page-stitched one, 4 single-reason rows,
+    // and the end-of-pages held-row flush (shares kept as the exact
+    // BigDecimal strings the share parser produces)
+    "q64_pdf_decode" ->
+      """WITH f AS (SELECT i::INT AS file_id FROM range(10) t(i))
+         SELECT file_id, r::INT AS s_idx,
+                'ООО Компания ' || file_id || ' ' || r AS name,
+                '25.' || r AS share,
+                'создание общества |приобретение акций' AS reasons,
+                '2020-02-01|2021-04-03' AS reason_dates
+         FROM f, range(3) g(r)
+         UNION ALL
+         SELECT file_id, 3::INT, 'ООО Гамма ' || file_id, '10',
+                'создание |продажа акций', '2020-02-01|2021-04-03' FROM f
+         UNION ALL
+         SELECT file_id, (4 + r)::INT,
+                'АО Дельта ' || file_id || ' ' || (3 + r),
+                (3 + r) || '.5', 'владение долей', '2021-06-05'
+         FROM f, range(4) g(r)
+         UNION ALL
+         SELECT file_id, 8::INT, 'ПАО Омега ' || file_id, '100',
+                'реорганизация', '2019-12-31' FROM f""",
 
     // q62: real Word97 binaries; every DOC-dialect paragraph carries
     // the :179 unconditional leading space

@@ -102,4 +102,16 @@ object OoxmlCorpus {
 
   def ensureXls(): String =
     ensure("/tmp/graft_xls_corpus_v1", nXlsx, "xls", xlsBytes)
+
+  val nPdf = 10
+
+  /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]);
+    * even ids are FlateDecode-compressed, odd ids uncompressed — both
+    * forms must decode to the same 9 stakeholders.
+    */
+  def pdfBytes(w: Int): Array[Byte] =
+    PdfSynth.stakeholderPdf(w, compress = w % 2 == 0)
+
+  def ensurePdf(): String =
+    ensure("/tmp/graft_pdf_corpus_v1", nPdf, "pdf", pdfBytes)
 }

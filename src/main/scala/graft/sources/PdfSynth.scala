@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic PDF synthesizer: real PDF files (header, indirect
+  * objects, page tree, content streams — optionally FlateDecode
+  * compressed — cross-reference table and trailer with byte-exact
+  * offsets) for the q64 decode oracle and PdfDecodeSpec. Byte-stable:
+  * no timestamps, no IDs, fixed object order. Text and fill-path
+  * conventions match [[PdfDecode]]'s interpreter (0.5 * fontSize glyph
+  * advance, UTF-8 string bytes), so synthesized geometry decodes
+  * exactly.
+  */
+object PdfSynth {
+
+  /** One page's content ops. */
+  final class Content {
+    private val sb = new StringBuilder
+    def text(x: Float, y: Float, size: Float, s: String): Content = {
+      val esc = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      sb ++= f"BT /F1 $size%.1f Tf $x%.1f $y%.1f Td ($esc) Tj ET\n"
+      this
+    }
+    def fillRect(x: Float, y: Float, w: Float, h: Float): Content = {
+      sb ++= f"$x%.1f $y%.1f $w%.1f $h%.1f re f\n"
+      this
+    }
+    def bytes: Array[Byte] = sb.toString.getBytes("UTF-8")
+  }
+
+  /** Assemble a PDF from per-page content (MediaBox 0 0 612 792).
+    * `compress` runs every content stream through Deflater
+    * (/FlateDecode) — both forms must decode identically.
+    */
+  def pdf(pages: Seq[Content], compress: Boolean = false): Array[Byte] = {
+    val n = pages.size
+    // objects: 1 catalog, 2 pages, then per page i: (3+2i) page, (4+2i) content
+    val objs = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    def obj(num: Int, body: String): Array[Byte] =
+      s"$num 0 obj\n$body\nendobj\n".getBytes("ISO-8859-1")
+    objs += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += obj(2,
+      s"<< /Type /Pages /Kids [ $kids ] /Count $n " +
+        "/MediaBox [ 0 0 612 792 ] >>")
+    for ((c, i) <- pages.zipWithIndex) {
+      objs += obj(3 + 2 * i,
+        s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R " +
+          "/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 " +
+          "/BaseFont /Helvetica >> >> >> >>")
+      val raw = c.bytes
+      val data = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val head = s"${4 + 2 * i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"
+      val buf = new ByteArrayOutputStream()
+      buf.write(head.getBytes("ISO-8859-1"))
+      buf.write(data)
+      buf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      objs += buf.toByteArray
+    }
+    // assemble with a correct xref (PdfDecode scans, but the file is a
+    // structurally valid PDF a standard reader accepts)
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    val offsets = new scala.collection.mutable.ArrayBuffer[Int]
+    for (o <- objs) { offsets += out.size(); out.write(o) }
+    val xrefAt = out.size()
+    val xref = new StringBuilder
+    xref ++= s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n"
+    for (off <- offsets) xref ++= f"$off%010d 00000 n \n"
+    xref ++= s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n"
+    xref ++= s"startxref\n$xrefAt\n%%EOF\n"
+    out.write(xref.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val k = d.deflate(buf)
+      out.write(buf, 0, k)
+    }
+    d.end()
+    out.toByteArray
+  }
+
+  // ---------- the q64 stakeholder corpus document ----------
+
+  /** Grid geometry shared by synth and oracle derivation: 7 horizontal
+    * rules (6 rows) x 5 vertical rules (4 columns) spanning >=90% of
+    * the 612pt page — exactly the reference's grid-selection envelope.
+    */
+  private val vxs = Seq(20f, 168f, 316f, 464f, 592f)
+  private val hys = Seq(700f, 660f, 620f, 580f, 540f, 500f, 460f)
+
+  private def grid(c: Content): Content = {
+    for (y <- hys) c.fillRect(20f, y, 572f, 1f)
+    for (x <- vxs) c.fillRect(x, 460f, 1f, 240f)
+    c
+  }
+
+  /** Write one table row (cells at font 6, inside row r's band). */
+  private def row(c: Content, r: Int, cells: Seq[String]): Content = {
+    val y = hys(r) - 20f
+    for ((s, col) <- cells.zipWithIndex if s.nonEmpty)
+      c.text(vxs(col) + 3f, y, 6f, s)
+    c
+  }
+
+  /** The q64 stakeholder filing for id i: page 1 carries the start
+    * marker + title row + the reference's numeric row (skipped via the
+    * skip-next-row quirk) + 3 data rows + a held-back last row; page 2
+    * opens with the blank-first-cell continuation row that stitches the
+    * held row (P7), then 4 data rows and a final held row; page 3
+    * carries the end marker, so the final held row is emitted by the
+    * end-of-pages flush. 9 stakeholders total — pinned in PdfDecodeSpec
+    * and the q64 oracle.
+    */
+  def stakeholderPdf(i: Int, compress: Boolean = false): Array[Byte] = {
+    val p1 = new Content
+    p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
+    grid(p1)
+    row(p1, 0, Seq("Полное фирменное наименование", "Основание",
+      "Дата наступления основания", "Доля участия"))
+    row(p1, 1, Seq("1", "2", "3", "4"))
+    for (r <- 0 until 3)
+      row(p1, 2 + r, Seq(s"ООО Компания $i $r",
+        "1.создание общества 2.приобретение акций",
+        "01.02.2020 03.04.2021", s"25,$r"))
+    row(p1, 5, Seq(s"ООО Гамма $i", "1.создание", "01.02.2020", "10"))
+
+    val p2 = new Content
+    grid(p2)
+    row(p2, 0, Seq("", " 2.продажа акций", " 03.04.2021", ""))
+    for (r <- 0 until 4)
+      row(p2, 1 + r, Seq(s"АО Дельта $i ${3 + r}", "владение долей",
+        "05.06.2021", s"${3 + r},5"))
+    row(p2, 5, Seq(s"ПАО Омега $i", "реорганизация", "31.12.2019", "100"))
+
+    val p3 = new Content
+    p3.text(30f, 750f, 10f,
+      "Изменения, произошедшие в списке аффилированных лиц")
+
+    pdf(Seq(p1, p2, p3), compress)
+  }
+}
