@@ -754,6 +754,48 @@ object SparkEntry {
       result
     }),
 
+    "q65_any_decode" -> ((s, dir) => {
+      // the reference's one-call entry (S1, parse(filePath)) re-keyed
+      // on CONTENT MAGIC over a MIXED corpus: one binaryFile scan over
+      // all five formats, BinaryDispatch sniffing bytes (%PDF / CFB
+      // stream names / zip entry names) and routing to the right real
+      // decoder; per file a format-specific unit/char summary the
+      // oracle states in closed form
+      val dirs = Seq(
+        graft.sources.OoxmlCorpus.ensureDocx(),
+        graft.sources.OoxmlCorpus.ensureDoc62(),
+        graft.sources.OoxmlCorpus.ensureXls(),
+        graft.sources.OoxmlCorpus.ensureXlsx(),
+        graft.sources.OoxmlCorpus.ensurePdf())
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(dirs.map(_ + "/*.*"): _*)
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val fileId = base.stripPrefix("doc_").takeWhile(_.isDigit).toInt
+          import graft.sources.BinaryDispatch._
+          decode(bytes) match {
+            case DecodedDoc(f, md) =>
+              val paras = md.documents.flatMap(_.paragraphs)
+              // text.length, not TextSeg.length: the seg length carries
+              // the reference's offset-accounting quirks (list prefixes
+              // uncounted), the oracle states plain string lengths
+              Some((f, fileId, paras.size,
+                paras.map(p => p.header.text.length + p.body.text.length).sum))
+            case DecodedSheets(f, sheets) =>
+              val bens = graft.core.SheetTable.parseBeneficiaries(sheets)
+              Some((f, fileId, bens.size,
+                bens.map(b => b.name.length + b.namePerson.length).sum))
+            case DecodedPdf(f, sts) =>
+              Some((f, fileId, sts.size, sts.map(_.name.length).sum))
+            case _ => None
+          }
+        }
+        .toDF("format", "file_id", "n_units", "chars")
+    }),
+
     "q64_pdf_decode" -> ((s, dir) => {
       // REAL PDF decode (S4 + P1): object scan -> page tree -> content
       // interpreter (text matrix + fill-path harvest) -> the geometry
@@ -1969,6 +2011,55 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q65: the mixed-corpus dispatch — every format's unit/char summary
+    // derived from the same closed-form content the per-format oracles
+    // state (paragraph texts for doc/docx, beneficiary fields for
+    // xls/xlsx, stakeholder names for pdf)
+    "q65_any_decode" ->
+      """SELECT 'docx' AS format, i::INT AS file_id, 2::INT AS n_units,
+           (length('AGREEMENT DOCUMENT ' || i)
+            + length('This agreement number ' || i ||
+                ' is made between the parties.')
+            + length('SECTION ' || i || ' OVERVIEW')
+            + length('Terms and conditions follow for document ' || i ||
+                '.' || chr(10) || '1. first term of document ' || i ||
+                chr(10) || '2. second term of document ' || i ||
+                chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
+                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i))::INT
+             AS chars
+         FROM range(40) t(i)
+         UNION ALL
+         SELECT 'doc', i::INT, 3::INT,
+           (length(' AGREEMENT ' || i || ' TITLE')
+            + length(' agreement body text number ' || i || ' lorem')
+            + length(' Section ' || i || ' details')
+            + length(' closing details for document ' || i)
+            + length(' indented note ' || i)
+            + length(' final remark ' || i))::INT
+         FROM range(20) t(i)
+         UNION ALL
+         SELECT 'xlsx', w::INT, 2::INT,
+           (length('ООО Фирма ' || w || '-1') + length('Иванов И.' || w)
+            + length('АО Завод ' || w || '-2') + length('Петров П.' || w))::INT
+         FROM range(10) t(w)
+         UNION ALL
+         SELECT 'xls', w::INT, 2::INT,
+           (length('ООО Фирма ' || w || '-1') + length('Иванов И.' || w)
+            + length('АО Завод ' || w || '-2') + length('Петров П.' || w))::INT
+         FROM range(10) t(w)
+         UNION ALL
+         SELECT 'pdf', w::INT, 9::INT,
+           (length('ООО Компания ' || w || ' 0')
+            + length('ООО Компания ' || w || ' 1')
+            + length('ООО Компания ' || w || ' 2')
+            + length('ООО Гамма ' || w)
+            + length('АО Дельта ' || w || ' 3')
+            + length('АО Дельта ' || w || ' 4')
+            + length('АО Дельта ' || w || ' 5')
+            + length('АО Дельта ' || w || ' 6')
+            + length('ПАО Омега ' || w))::INT
+         FROM range(10) t(w)""",
 
     // q64: real PDFs; the 9 stakeholders per filing are closed-form —
     // 3 data rows, the cross-page-stitched one, 4 single-reason rows,
