@@ -796,6 +796,30 @@ object SparkEntry {
         .toDF("format", "file_id", "n_units", "chars")
     }),
 
+    "q66_media_decode" -> ((s, dir) => {
+      // REAL media codecs (r04): PNG pixels via javax.imageio, WAV
+      // PCM16 via the RIFF parser — synthesized assets whose decoded
+      // statistics are closed-form (pixel/sample values are explicit
+      // functions of (id, x, y) / (id, t), and PNG/PCM are lossless).
+      // The decode runs in executors (range -> flatMap), one row per
+      // asset: (modality, asset_id, d1..d5)
+      val s2 = s
+      import s2.implicits._
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.range(30).flatMap { boxed =>
+        val id: Long = boxed // range yields java.lang.Long; unbox once
+        val (w, h, r, g, b) =
+          operators.Multimodal.decodeImage(operators.Multimodal.pngBytes(id))
+        val (rate, n, meanAbs) =
+          operators.Multimodal.decodeWavPcm16(operators.Multimodal.wavBytes(id))
+        Seq(
+          ("image", id, w.toDouble, h.toDouble, r6(r), r6(g), r6(b)),
+          ("audio", 1000L + id, rate.toDouble, n.toDouble, r6(meanAbs),
+            0.0, 0.0))
+      }.toDF("modality", "asset_id", "d1", "d2", "d3", "d4", "d5")
+    }),
+
     "q64_pdf_decode" -> ((s, dir) => {
       // REAL PDF decode (S4 + P1): object scan -> page tree -> content
       // interpreter (text matrix + fill-path harvest) -> the geometry
@@ -2011,6 +2035,32 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q66: the decoded pixel/sample statistics re-derived from the
+    // closed-form content formulas (PNG and PCM are lossless, so the
+    // decoder must recover the exact values)
+    "q66_media_decode" ->
+      """WITH px AS (
+           SELECT i, x, y
+           FROM range(30) t(i), range(8) a(x), range(8) b(y)
+         ), img AS (
+           SELECT 'image' AS modality, i::BIGINT AS asset_id,
+             8.0 AS d1, 8.0 AS d2,
+             round(avg(((i*17 + x*3 + y*5) % 256) / 255.0), 6) AS d3,
+             round(avg(((i*29 + x*7 + y*11) % 256) / 255.0), 6) AS d4,
+             round(avg(((i*43 + x*13 + y*17) % 256) / 255.0), 6) AS d5
+           FROM px GROUP BY i
+         ), smp AS (
+           SELECT i, unnest(range(800 + (i % 5) * 160)) AS t
+           FROM range(30) t0(i)
+         ), aud AS (
+           SELECT 'audio' AS modality, (1000 + i)::BIGINT AS asset_id,
+             16000.0 AS d1, (800 + (i % 5) * 160)::DOUBLE AS d2,
+             round(avg(abs((i*31 + t*7) % 2003 - 1001)) / 32768.0, 6) AS d3,
+             0.0 AS d4, 0.0 AS d5
+           FROM smp GROUP BY i
+         )
+         SELECT * FROM img UNION ALL SELECT * FROM aud""",
 
     // q65: the mixed-corpus dispatch — every format's unit/char summary
     // derived from the same closed-form content the per-format oracles

@@ -40,6 +40,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nonEmpty > 3, s"only $nonEmpty non-empty partitions")
   }
 
+  test("REAL image codec: PNG round-trip recovers the exact pixel " +
+    "formula; resize produces a decodable image of the target size") {
+    val id = 7L
+    val (w, h, r, g, b) = Multimodal.decodeImage(Multimodal.pngBytes(id))
+    assert(w == 8 && h == 8)
+    // closed-form means from the pixel formula (PNG is lossless)
+    def mean(f: (Int, Int) => Long): Double =
+      (for (x <- 0 until 8; y <- 0 until 8)
+        yield Math.floorMod(f(x, y), 256L).toDouble).sum / 64.0 / 255.0
+    assert(math.abs(r - mean((x, y) => id * 17 + x * 3 + y * 5)) < 1e-12)
+    assert(math.abs(g - mean((x, y) => id * 29 + x * 7 + y * 11)) < 1e-12)
+    assert(math.abs(b - mean((x, y) => id * 43 + x * 13 + y * 17)) < 1e-12)
+    val resized = Multimodal.resizeImage(Multimodal.pngBytes(id), 4, 4)
+    val (w2, h2, _, _, _) = Multimodal.decodeImage(resized)
+    assert(w2 == 4 && h2 == 4)
+  }
+
+  test("REAL wav codec: RIFF parse recovers rate, count and mean " +
+    "amplitude; junk chunks skipped; non-PCM rejected") {
+    val id = 3L
+    val (rate, n, meanAbs) = Multimodal.decodeWavPcm16(Multimodal.wavBytes(id))
+    assert(rate == 16000 && n == 800 + (id % 5) * 160)
+    val expected = (0 until n).map(t =>
+      math.abs(Math.floorMod(id * 31 + t * 7, 2003L) - 1001L).toDouble)
+      .sum / n / 32768.0
+    assert(math.abs(meanAbs - expected) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("RIFFxxxxWAVEnope".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not audio at all".getBytes)
+    }
+  }
+
+  test("extractFeaturesReal: real codecs per modality, error capture " +
+    "on undecodable bytes") {
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, Multimodal.pngBytes(1),
+        Multimodal.MediaMeta("image", "image/png", 8, 8, -1, -1L)),
+      Multimodal.MediaAsset(2L, Multimodal.wavBytes(2),
+        Multimodal.MediaMeta("audio", "audio/wav", -1, -1, 16000, 100L)),
+      Multimodal.MediaAsset(3L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("image", "image/png", 8, 8, -1, -1L)))
+    val out = Multimodal.extractFeaturesReal(spark.createDataset(assets), 4)
+      .collect().sortBy(_.asset_id)
+    assert(out(0).error == null && out(0).features.length == 5 &&
+      out(0).features(0) == 8f)
+    assert(out(1).error == null && out(1).features.length == 3 &&
+      out(1).features(0) == 16000f)
+    assert(out(2).error != null, "garbage image bytes must yield an error row")
+  }
+
   test("frame sampling windows") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.frameSample(bytes, 10, 3)
