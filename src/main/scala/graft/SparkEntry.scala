@@ -796,6 +796,17 @@ object SparkEntry {
         .toDF("format", "file_id", "n_units", "chars")
     }),
 
+    "q67_bigram_logprob" -> ((s, dir) => {
+      // interpolated bigram LM quality scoring (Jelinek-Mercer), the
+      // tier above q50's unigram gate; score rounded so the oracle's
+      // independent float-summation order is absorbed
+      val scored = operators.Curation.bigramLogProb(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+      scored.select(col("doc_id"),
+        round(col("bigram_logprob"), 6).as("bigram_logprob"),
+        col("n_pairs"))
+    }),
+
     "q66_media_decode" -> ((s, dir) => {
       // REAL media codecs (r04): PNG pixels via javax.imageio, WAV
       // PCM16 via the RIFF parser — synthesized assets whose decoded
@@ -2035,6 +2046,45 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q67: the full interpolated-bigram model replayed — top-V unigram
+    // distribution with OOV floor, in-vocab bigram conditionals, pair
+    // scoring, per-doc mean (docs with < 2 tokens absent)
+    "q67_bigram_logprob" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents
+         ), toksF AS (
+           SELECT id, w FROM (SELECT id, unnest(tk) AS w FROM d)
+           WHERE w <> ''
+         ), tot AS (SELECT count(*)::DOUBLE AS c FROM toksF),
+         uni AS (SELECT w, count(*) AS c FROM toksF GROUP BY w),
+         voc AS (
+           SELECT w, c, c / (SELECT c FROM tot) AS p1
+           FROM uni ORDER BY c DESC, w LIMIT 4096
+         ), pr AS (
+           SELECT id, tk[pos] AS w1, tk[pos + 1] AS w2
+           FROM (SELECT id, tk, unnest(range(1, len(tk))) AS pos FROM d)
+         ), big AS (
+           SELECT w1, w2, count(*) AS c2
+           FROM pr JOIN voc v1 ON pr.w1 = v1.w JOIN voc v2 ON pr.w2 = v2.w
+           GROUP BY w1, w2
+         ), p2t AS (
+           SELECT b.w1, b.w2, b.c2 / v.c::DOUBLE AS p2
+           FROM big b JOIN voc v ON b.w1 = v.w
+         ), sc AS (
+           SELECT pr.id,
+             ln(0.7::DOUBLE * coalesce(p2t.p2, 0.0) +
+                (1.0::DOUBLE - 0.7::DOUBLE) *
+                  coalesce(v2.p1, 1.0 / (SELECT c FROM tot))) AS lp
+           FROM pr
+           LEFT JOIN p2t ON pr.w1 = p2t.w1 AND pr.w2 = p2t.w2
+           LEFT JOIN voc v2 ON pr.w2 = v2.w
+         )
+         SELECT id AS doc_id, round(avg(lp), 6) AS bigram_logprob,
+                count(*) AS n_pairs
+         FROM sc GROUP BY id""",
 
     // q66: the decoded pixel/sample statistics re-derived from the
     // closed-form content formulas (PNG and PCM are lossless, so the

@@ -226,6 +226,68 @@ object Curation {
     result
   }
 
+  /** Interpolated bigram language-model scoring (Jelinek-Mercer): per
+    * doc, the mean over adjacent token pairs of
+    * `log(lambda * P(w2|w1) + (1-lambda) * P1(w2))` — the KenLM-style
+    * perplexity quality gate of web-scale pipelines, one tier above
+    * [[unigramLogProb]]. Model definition (pinned so the q67 oracle
+    * replays it): P1 is the top-`vocab` unigram distribution with the
+    * OOV floor `1/total` (exactly [[unigramLogProb]]'s); P(w2|w1) =
+    * corpusCount(w1 w2) / corpusCount(w1), defined ONLY when both
+    * tokens are in-vocab and the bigram occurs (else the unigram term
+    * alone carries the score). Docs with fewer than 2 tokens have no
+    * pairs and are absent from the output.
+    *
+    * Scale shape: pair extraction is a codegen'd zip of the token array
+    * with its shift (no self-join); the bigram count aggregate is
+    * map-side combinable and its join side has one row per (w1, w2) —
+    * AQE-skew-splittable; the unigram vocabulary is driver-sized BY
+    * DESIGN (V is a model hyperparameter) and broadcast. Restricting
+    * bigrams to in-vocab pairs bounds the model table at V^2 worst case
+    * independent of corpus size.
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    vocab: Int = 4096, lambda: Double = 0.7): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(TextStats.normalize(col(textCol)), " ")).as("_tok"))
+      .filter(col("_tok") =!= "")
+    val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // same lifecycle rationale as unigramLogProb
+    val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
+    if (total == 0L)
+      return df.select(col(idCol), lit(0.0).as("bigram_logprob"),
+        lit(0L).as("n_pairs")).limit(0)
+    val vocabDf = counts.orderBy(col("_c").desc, col("_tok")).limit(vocab)
+      .select(col("_tok"), col("_c").as("_c1"),
+        (col("_c").cast("double") / total).as("_p1"))
+    val pairs = df.select(col(idCol),
+        Dedup.bindOnce(split(TextStats.normalize(col(textCol)), " "), tk =>
+          when(size(tk) >= 2,
+            arrays_zip(slice(tk, lit(1), size(tk) - 1),
+              slice(tk, lit(2), size(tk) - 1)))
+            .otherwise(array())).as("_z"))
+      .select(col(idCol), explode(col("_z")).as("_pair"))
+      .select(col(idCol), col("_pair.0").as("_w1"), col("_pair.1").as("_w2"))
+    val bigrams = pairs
+      .join(broadcast(vocabDf.select(col("_tok").as("_w1"))), Seq("_w1"))
+      .join(broadcast(vocabDf.select(col("_tok").as("_w2"))), Seq("_w2"))
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
+    val w1Counts = vocabDf.select(col("_tok").as("_w1"), col("_c1"))
+    val scored = pairs
+      .join(bigrams.join(w1Counts, "_w1")
+        .select(col("_w1"), col("_w2"),
+          (col("_c2").cast("double") / col("_c1")).as("_p2")),
+        Seq("_w1", "_w2"), "left")
+      .join(broadcast(vocabDf.select(col("_tok").as("_w2"),
+        col("_p1"))), Seq("_w2"), "left")
+      .select(col(idCol),
+        log(lit(lambda) * coalesce(col("_p2"), lit(0.0)) +
+          lit(1.0 - lambda) * coalesce(col("_p1"), lit(1.0 / total)))
+          .as("_lp"))
+    scored.groupBy(idCol)
+      .agg(avg("_lp").as("bigram_logprob"), count(lit(1)).as("n_pairs"))
+  }
+
   // ---------- PII scrubbing ----------
 
   /** Scrub patterns, applied IN ORDER (URLs first, so an address inside

@@ -118,6 +118,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out.sorted.toSeq)
   }
 
+  test("bigramLogProb: hand-computed interpolated scores on a tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b a b" + "a b c" + "solo"; counts: a=3, b=3, c=1,
+    // solo=1, total=8; bigrams: (a,b)=3, (b,a)=1, (b,c)=1; c1: a=3, b=3
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramLogProb(df, "text", "doc_id", vocab = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val pAB = 0.7 * (3.0 / 3) + 0.3 * (3.0 / 8) // P(b|a)=1, P1(b)=3/8
+    val pBA = 0.7 * (1.0 / 3) + 0.3 * (3.0 / 8)
+    val pBC = 0.7 * (1.0 / 3) + 0.3 * (1.0 / 8)
+    val exp1 = (math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3
+    val exp2 = (math.log(pAB) + math.log(pBC)) / 2
+    assert(out(1L)._2 == 3L && math.abs(out(1L)._1 - exp1) < 1e-12)
+    assert(out(2L)._2 == 2L && math.abs(out(2L)._1 - exp2) < 1e-12)
+    // single-token doc has no pairs -> absent
+    assert(!out.contains(3L))
+    // OOV fallback: with vocab=2 only {a, b} survive; pair (b, c) has
+    // no bigram and an OOV w2 -> floor term only
+    val out2 = Curation.bigramLogProb(df, "text", "doc_id", vocab = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pBCoov = 0.3 * (1.0 / 8)
+    val exp2b = (math.log(pAB) + math.log(pBCoov)) / 2
+    assert(math.abs(out2(2L) - exp2b) < 1e-12)
+  }
+
   test("mixtureSample keeps each stratum near its fraction, drops unlisted") {
     val s = spark
     import s.implicits._
