@@ -796,6 +796,19 @@ object SparkEntry {
         .toDF("format", "file_id", "n_units", "chars")
     }),
 
+    "q68_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 top-20 for a bag-of-terms query — the retrieval gate
+      // for pulling topically-relevant training slices; ranked on the
+      // ROUNDED score (ties broken by doc_id) so the oracle's float
+      // summation order cannot flip the k-boundary
+      operators.Curation.bm25(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", Seq("window", "merge", "vector"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     "q67_bigram_logprob" -> ((s, dir) => {
       // interpolated bigram LM quality scoring (Jelinek-Mercer), the
       // tier above q50's unigram gate; score rounded so the oracle's
@@ -2046,6 +2059,44 @@ object SparkEntry {
          )
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
+
+    // q68: the Okapi formula replayed term-for-term (idf with the +1
+    // smoothing, tf saturation, length normalization); arithmetic
+    // mirrors the Scala side's double ops
+    "q68_bm25_topk" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents
+         ), lens AS (
+           SELECT doc_id, len(list_filter(tk, t -> t <> ''))::BIGINT AS l
+           FROM d
+         ), st AS (
+           SELECT count(*)::DOUBLE AS n, avg(l)::DOUBLE AS avgLen FROM lens
+         ), hits AS (
+           SELECT doc_id, t, count(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+           WHERE t IN ('window', 'merge', 'vector')
+           GROUP BY doc_id, t
+         ), idf AS (
+           SELECT t,
+             ln(((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)
+                + 1.0) AS idf
+           FROM hits GROUP BY t
+         ), score AS (
+           SELECT h.doc_id,
+             sum(idf.idf * h.tf * (1.2::DOUBLE + 1) /
+                 (h.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) +
+                   0.75::DOUBLE * lens.l / (SELECT avgLen FROM st)))) AS s
+           FROM hits h
+           JOIN idf ON h.t = idf.t
+           JOIN lens ON h.doc_id = lens.doc_id
+           GROUP BY h.doc_id
+         )
+         SELECT doc_id, round(s, 6) AS bm25
+         FROM score
+         ORDER BY round(s, 6) DESC, doc_id
+         LIMIT 20""",
 
     // q67: the full interpolated-bigram model replayed — top-V unigram
     // distribution with OOV floor, in-vocab bigram conditionals, pair

@@ -288,6 +288,57 @@ object Curation {
       .agg(avg("_lp").as("bigram_logprob"), count(lit(1)).as("n_pairs"))
   }
 
+  /** BM25 (Okapi) document scoring for a bag-of-terms query — the
+    * standard retrieval gate a curation pipeline uses to pull
+    * topically-relevant training slices (Robertson & Zaragoza's
+    * formulation):
+    *
+    *   idf(t)   = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+    *   score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d / avgLen))
+    *
+    * over normalized whitespace tokens. Only docs matching at least one
+    * query term appear (score > 0).
+    *
+    * Scale shape: the corpus-length stats (N, avgLen) are one
+    * map-side-combinable aggregate collapsed to a scalar; per-term
+    * document frequencies aggregate to one row per query term
+    * (broadcast); the token scan keeps only query-term hits
+    * (`array_contains` against a literal array — a pushable codegen
+    * filter), so the shuffled frame is |hits|, not |tokens|.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val termArr = array(terms.map(lit): _*)
+    val docs = df.select(col(idCol),
+      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
+    val lens = docs.select(col(idCol),
+      size(filter(col("_tk"), t => t =!= "")).as("_len"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      avg("_len").as("avgLen")).first()
+    val n = stats.getLong(0)
+    val avgLen = stats.getDouble(1)
+    val hits = docs.select(col(idCol),
+        explode(filter(col("_tk"), t => array_contains(termArr, t)))
+          .as("_term"))
+      .groupBy(idCol, "_term").agg(count(lit(1)).as("_tf"))
+    val dfT = hits.groupBy("_term").agg(count(lit(1)).as("_df"))
+      .select(col("_term"),
+        log((lit(n.toDouble) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0)
+          .as("_idf"))
+    hits
+      .join(broadcast(dfT), "_term")
+      .join(lens, idCol)
+      .select(col(idCol),
+        (col("_idf") * col("_tf") * (k1 + 1) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("_len") / avgLen))).as("_s"))
+      .groupBy(idCol)
+      .agg(sum("_s").as("bm25"))
+  }
+
   // ---------- PII scrubbing ----------
 
   /** Scrub patterns, applied IN ORDER (URLs first, so an address inside

@@ -146,6 +146,28 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out2(2L) - exp2b) < 1e-12)
   }
 
+  test("bm25: hand-computed Okapi scores; non-matching docs absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "window merge window"), (2L, "merge other words here"),
+      (3L, "nothing relevant")).toDF("doc_id", "text")
+    val out = Curation.bm25(df, "text", "doc_id", Seq("window", "merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, lens 3/4/2, avgLen=3; df(window)=1, df(merge)=2
+    val idfW = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1)
+    val idfM = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    val d1 = idfW * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3)) +
+      idfM * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3))
+    val d2 = idfM * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4.0 / 3))
+    assert(math.abs(out(1L) - d1) < 1e-9, out.toString)
+    assert(math.abs(out(2L) - d2) < 1e-9)
+    assert(!out.contains(3L), "no query term -> absent")
+    // query casing normalized
+    val out2 = Curation.bm25(df, "text", "doc_id", Seq("WINDOW", "Merge"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out2(1L) - out(1L)) < 1e-12)
+  }
+
   test("mixtureSample keeps each stratum near its fraction, drops unlisted") {
     val s = spark
     import s.implicits._
