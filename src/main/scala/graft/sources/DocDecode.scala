@@ -229,11 +229,15 @@ object DocDecode {
       while (c < cpEndIncl) {
         val fc = fcOfCp(c)
         val run = boldRuns.find(r => fc >= r.fcStart && fc < r.fcEnd)
-        val runEndFc = run.map(_.fcEnd).getOrElse(Int.MaxValue)
+        // Long arithmetic: with no covering CHPX interval (real-world
+        // docs can lack the bin table) the run end is unbounded and an
+        // Int step would overflow past c
+        val runEndFc: Long = run.map(_.fcEnd.toLong).getOrElse(Long.MaxValue / 4)
         val piece = pieces.find(p => c >= p.cpStart && c < p.cpEnd)
           .getOrElse(pieces.last)
-        val cpRunEnd = math.min(cpEndIncl, math.min(piece.cpEnd,
-          c + math.max(1, (runEndFc - fc) / piece.bytesPerChar)))
+        val step = math.max(1L, (runEndFc - fc) / piece.bytesPerChar)
+        val cpRunEnd = math.min(cpEndIncl.toLong,
+          math.min(piece.cpEnd.toLong, c + step)).toInt
         runs += Run(text.substring(c, cpRunEnd),
           bold = run.flatMap(_.value))
         c = cpRunEnd
