@@ -809,6 +809,66 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q69_decode_status" -> ((s, dir) => {
+      // corrupt-input totality over the mixed binary corpus: at 10^8+
+      // files some bytes ARE corrupt, and the scan's per-row contract is
+      // safeDecode — an (ok|error) row per file, never a dead job. The
+      // corrupt corpora are STRUCTURALLY failed (every id shares the
+      // same structural hole, pinned per-id by DecodeFuzzSpec), which is
+      // what lets the oracle state every row in closed form.
+      val dirs = Seq(
+        graft.sources.OoxmlCorpus.ensureCorruptPdf(),
+        graft.sources.OoxmlCorpus.ensureCorruptCfb(),
+        graft.sources.OoxmlCorpus.ensureCorruptZip(),
+        graft.sources.OoxmlCorpus.ensureGarbage(),
+        graft.sources.OoxmlCorpus.ensureDocx())
+      val s2 = s
+      import s2.implicits._
+      s.read.format("binaryFile").load(dirs.map(_ + "/*.*"): _*)
+        .select("path", "content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val segs = path.split('/')
+          val kind = segs(segs.length - 2) match {
+            case "graft_badpdf_corpus_v1" => "bad_pdf"
+            case "graft_badcfb_corpus_v1" => "bad_cfb"
+            case "graft_badzip_corpus_v1" => "bad_zip"
+            case "graft_garbage_corpus_v1" => "garbage"
+            case _ => "clean"
+          }
+          val fileId =
+            segs.last.stripPrefix("doc_").takeWhile(_.isDigit).toInt
+          val r = graft.sources.BinaryDispatch.safeDecode(bytes)
+          (kind, fileId, r.format, r.status)
+        }
+        .toDF("kind", "file_id", "format", "status")
+    }),
+
+    "q70_quality_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing over the q67 bigram LM score:
+      // rank on the ROUNDED score (doc_id tiebreak) so both engines
+      // sort identical keys, then cut into 10 equal-count buckets
+      // (bucket 1 = most fluent)
+      val scored = operators.Curation.bigramLogProb(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .select(col("doc_id"), round(col("bigram_logprob"), 6).as("s"))
+      operators.Curation.qualityBuckets(scored, col("s"), "doc_id", 10)
+        .select(col("doc_id"), col("s").as("bigram_logprob"), col("bucket"))
+    }),
+
+    "q71_domain_filter" -> ((s, dir) => {
+      // domain-level curation: per-source mean quality + doc support
+      // judged in one map-side-combinable aggregate; failing domains cut
+      // wholesale via a broadcast anti-join (the corpus never shuffles)
+      // the 0.8215 floor splits the synthetic sources ~8/12 at sf0.01 —
+      // the verdict boundary is exercised, not vacuous (the rounded-mean
+      // compare keeps it engine-stable, as q38's hash match proves)
+      operators.Curation.dropLowQualityDomains(
+          t(s, dir, "documents"), "source",
+          TextStats.qualityScore(col("text")), 0.8215, 10L)
+        .select("doc_id", "source")
+    }),
+
     "q67_bigram_logprob" -> ((s, dir) => {
       // interpolated bigram LM quality scoring (Jelinek-Mercer), the
       // tier above q50's unigram gate; score rounded so the oracle's
@@ -986,6 +1046,44 @@ object SparkEntry {
     * (2000 convs) when verification runs there, not only the sf0.01
     * smoke count.
     */
+  /** The q67 interpolated-bigram LM replayed in SQL, shared by the
+    * q67 (per-doc score) and q70 (bucketed) oracles — the CTE chain ends
+    * at `sc(id, lp)`: one row per adjacent token pair with its
+    * interpolated log-probability.
+    */
+  private val bigramLmCte: String =
+    """WITH d AS (
+         SELECT doc_id AS id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents
+       ), toksF AS (
+         SELECT id, w FROM (SELECT id, unnest(tk) AS w FROM d)
+         WHERE w <> ''
+       ), tot AS (SELECT count(*)::DOUBLE AS c FROM toksF),
+       uni AS (SELECT w, count(*) AS c FROM toksF GROUP BY w),
+       voc AS (
+         SELECT w, c, c / (SELECT c FROM tot) AS p1
+         FROM uni ORDER BY c DESC, w LIMIT 4096
+       ), pr AS (
+         SELECT id, tk[pos] AS w1, tk[pos + 1] AS w2
+         FROM (SELECT id, tk, unnest(range(1, len(tk))) AS pos FROM d)
+       ), big AS (
+         SELECT w1, w2, count(*) AS c2
+         FROM pr JOIN voc v1 ON pr.w1 = v1.w JOIN voc v2 ON pr.w2 = v2.w
+         GROUP BY w1, w2
+       ), p2t AS (
+         SELECT b.w1, b.w2, b.c2 / v.c::DOUBLE AS p2
+         FROM big b JOIN voc v ON b.w1 = v.w
+       ), sc AS (
+         SELECT pr.id,
+           ln(0.7::DOUBLE * coalesce(p2t.p2, 0.0) +
+              (1.0::DOUBLE - 0.7::DOUBLE) *
+                coalesce(v2.p1, 1.0 / (SELECT c FROM tot))) AS lp
+         FROM pr
+         LEFT JOIN p2t ON pr.w1 = p2t.w1 AND pr.w2 = p2t.w2
+         LEFT JOIN voc v2 ON pr.w2 = v2.w
+       )"""
+
   private def extractDerivation(nConvs: Long): String =
     s"""WITH raw AS (
          SELECT conv_id, turn_idx, text
@@ -2060,6 +2158,17 @@ object SparkEntry {
          SELECT c.id AS doc_id, coalesce(r.text_clean, '') AS text_clean
          FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
 
+    // q69: every corrupt corpus fails STRUCTURALLY (the recipe, not the
+    // id, decides the outcome — DecodeFuzzSpec pins each id), so the
+    // whole decode-status table is a closed form over range(n)
+    "q69_decode_status" ->
+      """SELECT 'bad_pdf' AS kind, i::INT AS file_id,
+                'pdf' AS format, 'error' AS status FROM range(10) t(i)
+         UNION ALL SELECT 'bad_cfb', i::INT, 'cfb', 'error' FROM range(10) t(i)
+         UNION ALL SELECT 'bad_zip', i::INT, 'zip', 'error' FROM range(10) t(i)
+         UNION ALL SELECT 'garbage', i::INT, 'text', 'ok' FROM range(10) t(i)
+         UNION ALL SELECT 'clean', i::INT, 'docx', 'ok' FROM range(40) t(i)""",
+
     // q68: the Okapi formula replayed term-for-term (idf with the +1
     // smoothing, tf saturation, length normalization); arithmetic
     // mirrors the Scala side's double ops
@@ -2102,40 +2211,49 @@ object SparkEntry {
     // distribution with OOV floor, in-vocab bigram conditionals, pair
     // scoring, per-doc mean (docs with < 2 tokens absent)
     "q67_bigram_logprob" ->
-      """WITH d AS (
-           SELECT doc_id AS id,
-                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-           FROM documents
-         ), toksF AS (
-           SELECT id, w FROM (SELECT id, unnest(tk) AS w FROM d)
-           WHERE w <> ''
-         ), tot AS (SELECT count(*)::DOUBLE AS c FROM toksF),
-         uni AS (SELECT w, count(*) AS c FROM toksF GROUP BY w),
-         voc AS (
-           SELECT w, c, c / (SELECT c FROM tot) AS p1
-           FROM uni ORDER BY c DESC, w LIMIT 4096
-         ), pr AS (
-           SELECT id, tk[pos] AS w1, tk[pos + 1] AS w2
-           FROM (SELECT id, tk, unnest(range(1, len(tk))) AS pos FROM d)
-         ), big AS (
-           SELECT w1, w2, count(*) AS c2
-           FROM pr JOIN voc v1 ON pr.w1 = v1.w JOIN voc v2 ON pr.w2 = v2.w
-           GROUP BY w1, w2
-         ), p2t AS (
-           SELECT b.w1, b.w2, b.c2 / v.c::DOUBLE AS p2
-           FROM big b JOIN voc v ON b.w1 = v.w
-         ), sc AS (
-           SELECT pr.id,
-             ln(0.7::DOUBLE * coalesce(p2t.p2, 0.0) +
-                (1.0::DOUBLE - 0.7::DOUBLE) *
-                  coalesce(v2.p1, 1.0 / (SELECT c FROM tot))) AS lp
-           FROM pr
-           LEFT JOIN p2t ON pr.w1 = p2t.w1 AND pr.w2 = p2t.w2
-           LEFT JOIN voc v2 ON pr.w2 = v2.w
-         )
+      s"""$bigramLmCte
          SELECT id AS doc_id, round(avg(lp), 6) AS bigram_logprob,
                 count(*) AS n_pairs
          FROM sc GROUP BY id""",
+
+    // q70: the same LM, bucketed — ntile over the rounded score with
+    // the doc_id tiebreak (both engines rank identical keys)
+    "q70_quality_buckets" ->
+      s"""$bigramLmCte, per AS (
+           SELECT id AS doc_id, round(avg(lp), 6) AS s
+           FROM sc GROUP BY id
+         )
+         SELECT doc_id, s AS bigram_logprob,
+                ntile(10) OVER (ORDER BY s DESC, doc_id) AS bucket
+         FROM per""",
+
+    // q71: the q38 per-doc quality replayed, aggregated per source;
+    // verdicts on the ROUNDED mean (bit-stable across engines)
+    "q71_domain_filter" ->
+      """WITH q AS (
+           SELECT doc_id, source, round(greatest(0.0, least(1.0,
+             alpha * lenOk * (1.0 - digit * 2))), 4) AS qv
+           FROM (
+             SELECT doc_id, source,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[а-яА-ЯёЁ]', '', 'g'))
+                     + length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+                    / length(text) END AS alpha,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                    / length(text) END AS digit,
+               CASE WHEN (CASE WHEN NOT regexp_matches(text, '\S') THEN 0.0
+                 ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                    / len(string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END AS lenOk
+             FROM documents) f
+         ), bad AS (
+           SELECT source FROM q GROUP BY source
+           HAVING round(avg(qv), 4) < 0.8215 OR count(*) < 10
+         )
+         SELECT doc_id, source FROM q
+         WHERE source NOT IN (SELECT source FROM bad)""",
 
     // q66: the decoded pixel/sample statistics re-derived from the
     // closed-form content formulas (PNG and PCM are lossless, so the

@@ -339,6 +339,69 @@ object Curation {
       .agg(sum("_s").as("bm25"))
   }
 
+  // ---------- quality bucketing / domain curation ----------
+
+  /** CCNet-style quality bucketing (Wenzek et al., LREC 2020 —
+    * PAPERS.md): rank the corpus by a language-model quality score and
+    * cut it into k equal-count buckets, bucket 1 best — the
+    * generalization of CCNet's head/middle/tail thirds. This exact-rank
+    * form runs one global `ntile` window — a single-task sort, valid
+    * over the NARROW (id, score) projection the caller passes (payload
+    * columns rejoin on the id afterwards, the [[packSequences]]
+    * discipline) — and is the oracled test-scale form. At corpus scale
+    * run one `percentile_approx` aggregate for the k-1 thresholds and
+    * assign with [[qualityBucketsByThreshold]]: a per-row codegen CASE,
+    * no window, no shuffle.
+    */
+  def qualityBuckets(df: DataFrame, scoreCol: Column, idCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    df.withColumn("bucket",
+      ntile(k).over(Window.orderBy(scoreCol.desc, col(idCol))))
+  }
+
+  /** Shuffle-free bucket assignment against precomputed thresholds
+    * (strictly descending; k = thresholds.size + 1): bucket i+1 is the
+    * first i with score >= thresholds(i), else bucket k. Pairs with a
+    * `percentile_approx` (or exact, at test scale) threshold job; the
+    * assignment itself is a pushable whole-stage-codegen CASE — at
+    * 100 TB it rides whatever scan already reads the score.
+    */
+  def qualityBucketsByThreshold(df: DataFrame, scoreCol: Column,
+                                thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
+      "thresholds must be strictly descending")
+    val k = thresholds.size + 1
+    val bucket = thresholds.zipWithIndex.reverse
+      .foldLeft(lit(k)) { case (acc, (t, i)) =>
+        when(scoreCol >= t, lit(i + 1)).otherwise(acc)
+      }
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Domain-level curation — the per-domain gate of web-scale pipelines
+    * (C4 / RefinedWeb domain rules, Gopher per-source filters;
+    * PAPERS.md): judge each domain on AGGREGATED evidence (mean per-doc
+    * quality and document support), then cut every document of a
+    * failing domain. The verdict table is one row per domain —
+    * broadcast-sized at any corpus scale — so the corpus is never
+    * shuffled: one map-side-combinable aggregate over (domain, quality)
+    * plus one broadcast anti-join. The mean is rounded (4 dp) BEFORE
+    * the floor compare so the keep/cut verdict is bit-stable across
+    * engines and partition orders (the [[TextStats.qualityScore]]
+    * rounding discipline).
+    */
+  def dropLowQualityDomains(df: DataFrame, domainCol: String,
+                            qualityCol: Column, minMeanQuality: Double,
+                            minDocs: Long): DataFrame = {
+    val bad = df.groupBy(col(domainCol))
+      .agg(round(avg(qualityCol), 4).as("_mq"), count(lit(1)).as("_nd"))
+      .filter(col("_mq") < minMeanQuality || col("_nd") < minDocs)
+      .select(col(domainCol))
+    df.join(broadcast(bad), Seq(domainCol), "left_anti")
+  }
+
   // ---------- PII scrubbing ----------
 
   /** Scrub patterns, applied IN ORDER (URLs first, so an address inside

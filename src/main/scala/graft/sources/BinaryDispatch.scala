@@ -47,6 +47,55 @@ object BinaryDispatch {
     "text"
   }
 
+  /** Magic-bytes-only coarse sniff — a pure byte test that NEVER throws
+    * (unlike [[sniff]], which opens the container to tell doc from xls
+    * and docx from xlsx and so propagates container-level corruption).
+    * Used by [[safeDecode]] to attribute a failed decode to a format
+    * family.
+    */
+  def coarseSniff(bytes: Array[Byte]): String = {
+    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F') "pdf"
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 &&
+        (bytes(1) & 0xFF) == 0xCF && (bytes(2) & 0xFF) == 0x11 &&
+        (bytes(3) & 0xFF) == 0xE0) "cfb"
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K') "zip"
+    else "text"
+  }
+
+  /** Decode outcome for the corpus-scale scan: at 10^8+ files some bytes
+    * ARE corrupt (truncated uploads, bit rot, mislabeled blobs) and one
+    * bad row must cost an error row, never the job. `format` is the
+    * decoded format on success, the [[coarseSniff]] family on failure;
+    * `error` carries the exception class name for triage aggregation.
+    */
+  final case class SafeDecoded(format: String, status: String,
+                               error: String, decoded: Option[Decoded])
+
+  /** Total (never-throwing) variant of [[decode]]: all decoder-level
+    * failures — bounds, magic, chain, zip, XML, number parses, the
+    * allocation caps — surface as an `error` row. Decoder internals are
+    * allocation-bounded ([[OoxmlDecode.maxInflatedBytes]],
+    * [[PdfDecode.maxInflatedBytes]], CFB chain/size guards), so
+    * catching NonFatal here is sound: pathological inputs throw early
+    * instead of exhausting task memory.
+    */
+  def safeDecode(bytes: Array[Byte]): SafeDecoded =
+    try {
+      val d = decode(bytes)
+      val fmt = d match {
+        case DecodedDoc(f, _) => f
+        case DecodedSheets(f, _) => f
+        case DecodedPdf(f, _) => f
+        case DecodedText(f, _) => f
+      }
+      SafeDecoded(fmt, "ok", "", Some(d))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        SafeDecoded(coarseSniff(bytes), "error",
+          e.getClass.getSimpleName, None)
+    }
+
   /** Decode any supported document (the reference's one-call entry). */
   def decode(bytes: Array[Byte]): Decoded = sniff(bytes) match {
     case "pdf" =>

@@ -93,6 +93,11 @@ object CfbDecode {
     def readChain(start: Int, size: Long): Array[Byte] = {
       val buf = new java.io.ByteArrayOutputStream()
       chain(start).foreach(s => buf.write(sector(s)))
+      // a directory entry's declared size is untrusted: it must fit the
+      // bytes its chain actually provides, else a corrupt 2 GB size field
+      // would drive a 2 GB zero-fill allocation here
+      require(size >= 0 && size <= buf.size,
+        s"stream size $size exceeds chain bytes ${buf.size}")
       java.util.Arrays.copyOf(buf.toByteArray, size.toInt)
     }
 
@@ -139,6 +144,8 @@ object CfbDecode {
         buf.write(miniStream, off, miniSize)
         cur = miniFat(cur)
       }
+      require(size >= 0 && size <= buf.size,
+        s"mini stream size $size exceeds chain bytes ${buf.size}")
       java.util.Arrays.copyOf(buf.toByteArray, size.toInt)
     }
 

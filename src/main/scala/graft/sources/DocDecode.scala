@@ -103,6 +103,10 @@ object DocDecode {
           case 0x01 => off += 3 + u16(table, off + 1) // Prc: skip grpprl
           case 0x02 =>
             val lcb = i32(table, off + 1)
+            // untrusted length: the PlcPcd must fit inside the table
+            // stream, else a corrupt lcb drives an O(lcb) allocation
+            require(lcb >= 4 && off + 5 + lcb <= table.length,
+              s"PlcPcd length $lcb out of range")
             val plc = off + 5
             val n = (lcb - 4) / 12
             result = (0 until n).map { k =>
@@ -123,6 +127,10 @@ object DocDecode {
     }
 
     // ---- text + cp -> fc mapping ----
+    // ccpText is untrusted: main-text chars cannot exceed the stream's
+    // bytes (1 byte/char minimum in the cp1252 pieces)
+    require(ccpText >= 0 && ccpText <= word.length,
+      s"ccpText $ccpText out of range for ${word.length}-byte stream")
     val sb = new java.lang.StringBuilder(ccpText)
     for (p <- pieces) {
       val count = p.cpEnd - p.cpStart

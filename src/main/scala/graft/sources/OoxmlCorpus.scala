@@ -114,4 +114,51 @@ object OoxmlCorpus {
 
   def ensurePdf(): String =
     ensure("/tmp/graft_pdf_corpus_v1", nPdf, "pdf", pdfBytes)
+
+  // ---------- q69: deterministic corrupt corpora ----------
+  //
+  // Each recipe is STRUCTURALLY guaranteed to fail decode (pinned per
+  // id by DecodeFuzzSpec, which is what licenses the closed-form q69
+  // oracle): the failure comes from a structural hole every instance
+  // shares, not from where a random flip happened to land.
+
+  val nCorrupt = 10
+
+  /** Truncated PDF: header survives, every indirect object is gone, so
+    * the page walk finds no /Catalog. Fails for every id.
+    */
+  def corruptPdfBytes(i: Int): Array[Byte] =
+    java.util.Arrays.copyOf(pdfBytes(i % nPdf), 40)
+
+  /** CFB header only: the DIFAT's first FAT sector sits past the
+    * truncation, so the sector-range guard fires. Fails for every id.
+    */
+  def corruptCfbBytes(i: Int): Array[Byte] =
+    java.util.Arrays.copyOf(docBytes62(i % nDoc62), 512)
+
+  /** Zip with everything after byte 64 zeroed: the first local entry's
+    * deflate data (and the central directory) is destroyed, so entry
+    * reads fail inside the container scan. Fails for every id.
+    */
+  def corruptZipBytes(i: Int): Array[Byte] = {
+    val b = docxBytes(i % nDocx).clone()
+    java.util.Arrays.fill(b, 64, b.length, 0.toByte)
+    b
+  }
+
+  /** Deterministic non-document bytes (leading 'G' dodges every magic):
+    * the dispatch's text fallback route — decodes ok as plain text.
+    */
+  def garbageBytes(i: Int): Array[Byte] =
+    ('G'.toByte) +: Array.tabulate[Byte](200 + 13 * i)(j =>
+      (32 + ((i * 31 + j * 7) % 90)).toByte)
+
+  def ensureCorruptPdf(): String =
+    ensure("/tmp/graft_badpdf_corpus_v1", nCorrupt, "pdf", corruptPdfBytes)
+  def ensureCorruptCfb(): String =
+    ensure("/tmp/graft_badcfb_corpus_v1", nCorrupt, "doc", corruptCfbBytes)
+  def ensureCorruptZip(): String =
+    ensure("/tmp/graft_badzip_corpus_v1", nCorrupt, "docx", corruptZipBytes)
+  def ensureGarbage(): String =
+    ensure("/tmp/graft_garbage_corpus_v1", nCorrupt, "txt", garbageBytes)
 }

@@ -54,8 +54,8 @@ object PdfDecode {
             (body.lastIndexOf(">>", streamAt) >= 0)) {
           val dict = body.substring(0, streamAt)
           var dataStart = bodyStart + streamAt + "stream".length
-          if (s.charAt(dataStart) == '\r') dataStart += 1
-          if (s.charAt(dataStart) == '\n') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
           val len = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
           val dataEnd = len match {
             case Some(l) if dataStart + l <= endObj + bodyStart => dataStart + l
@@ -75,16 +75,30 @@ object PdfDecode {
     out.result()
   }
 
+  /** Hard cap on total inflated bytes per stream — one pathological row
+    * (a flate bomb) cannot blow task memory at corpus scale (same
+    * rationale as [[OoxmlDecode.maxInflatedBytes]]).
+    */
+  val maxInflatedBytes: Long = 256L * 1024 * 1024
+
   private def inflate(raw: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(raw)
-    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 4))
     val buf = new Array[Byte](8192)
+    var total = 0L
     var stuck = false
     while (!inf.finished() && !stuck) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
-      else stuck = inf.needsInput() || inf.needsDictionary()
+      if (n > 0) {
+        total += n
+        if (total > maxInflatedBytes) {
+          inf.end()
+          throw new IllegalArgumentException(
+            s"stream inflates past $maxInflatedBytes bytes")
+        }
+        out.write(buf, 0, n)
+      } else stuck = inf.needsInput() || inf.needsDictionary()
     }
     inf.end()
     out.toByteArray
@@ -110,7 +124,10 @@ object PdfDecode {
       .getOrElse(throw new IllegalArgumentException("no /Pages in catalog"))
     var mediaWidth = 612f
     val contents = new ArrayBuffer[Array[Byte]]
-    def walk(num: Int): Unit = objs.get(num).foreach { o =>
+    // visited set: a cyclic /Kids graph in corrupt input must terminate
+    // with a truncated walk, not a StackOverflowError
+    val visited = scala.collection.mutable.Set[Int]()
+    def walk(num: Int): Unit = if (visited.add(num)) objs.get(num).foreach { o =>
       ("""/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)""").r
         .findFirstMatchIn(o.dict)
         .foreach(m => mediaWidth = m.group(3).toFloat - m.group(1).toFloat)

@@ -89,6 +89,9 @@ object XlsDecode {
           var i = 0
           while (i < unique && p < r.off + r.len) {
             val (s, consumed) = xlString(wb, p)
+            // corrupt rich/ext length fields can yield a non-advancing
+            // cursor; unique is itself untrusted, so refuse to spin
+            require(consumed > 0, s"non-advancing SST string at $p")
             sst += s
             p += consumed
             i += 1

@@ -273,4 +273,56 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("qualityBuckets: equal-count buckets, best score in bucket 1") {
+    val s = spark
+    import s.implicits._
+    val scored = (1L to 10L).map(i => (i, 100.0 - i)).toDF("doc_id", "s")
+    val got = Curation.qualityBuckets(scored, col("s"), "doc_id", 5)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 1 has the highest score -> bucket 1; two docs per bucket
+    assert(got(1L) == 1 && got(2L) == 1 && got(9L) == 5 && got(10L) == 5)
+    assert(got.values.groupBy(identity).values.forall(_.size == 2))
+  }
+
+  test("qualityBucketsByThreshold matches the rank form on its exact " +
+    "quantile cuts and stays shuffle-free") {
+    val s = spark
+    import s.implicits._
+    val scored = (1L to 12L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    // exact tertile thresholds for scores 1..12: buckets {12..9},{8..5},{4..1}
+    val byThr = Curation.qualityBucketsByThreshold(
+      scored, col("s"), Seq(9.0, 5.0))
+    val byRank = Curation.qualityBuckets(scored, col("s"), "doc_id", 3)
+    val a = byThr.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = byRank.select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, s"$a vs $b")
+    val plan = byThr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      Curation.qualityBucketsByThreshold(scored, col("s"), Seq(1.0, 5.0))
+    }
+  }
+
+  test("dropLowQualityDomains cuts failing domains wholesale via a " +
+    "broadcast anti-join") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "good.com", 0.9), (2L, "good.com", 0.8), (3L, "good.com", 0.7),
+      (4L, "spam.net", 0.1), (5L, "spam.net", 0.9), (6L, "spam.net", 0.2),
+      (7L, "tiny.org", 0.99)) // high quality but under the support floor
+      .toDF("doc_id", "domain", "q")
+    val kept = Curation.dropLowQualityDomains(df, "domain", col("q"),
+        minMeanQuality = 0.5, minDocs = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    val plan = Curation.dropLowQualityDomains(df, "domain", col("q"), 0.5, 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan)
+  }
 }
