@@ -856,6 +856,32 @@ object SparkEntry {
         .select(col("doc_id"), col("s").as("bigram_logprob"), col("bucket"))
     }),
 
+    "q72_curation_pipeline" -> ((s, dir) => {
+      // the curation-side flagship (q48's analog): planted exact dups ->
+      // dropExactDups (128-bit collapse, min-id keep) -> domain filter
+      // (broadcast verdict anti-join) -> 75% content-stable hash sample
+      // (pushable filter) -> global sequence packing. Every stage is an
+      // already-oracled operator; the oracle replays the whole chain,
+      // pinning the COMPOSITION (stage order matters: domain verdicts
+      // aggregate over the deduped corpus)
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val dup = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          col("text"))
+      val deduped =
+        Dedup.dropExactDups(docs.unionByName(dup), "text", "doc_id")
+      val domained = operators.Curation.dropLowQualityDomains(deduped,
+        "source", TextStats.qualityScore(col("text")), 0.8215, 10L)
+      val sampled =
+        operators.Curation.hashSample(domained, col("doc_id"), "c0")
+      val counted = sampled.select(col("doc_id"), col("source"),
+        graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      operators.Curation.packSequences(counted, col("n_tokens"),
+          "doc_id", 512)
+        .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+    }),
+
     "q71_domain_filter" -> ((s, dir) => {
       // domain-level curation: per-source mean quality + doc support
       // judged in one map-side-combinable aggregate; failing domains cut
@@ -2226,6 +2252,65 @@ object SparkEntry {
          SELECT doc_id, s AS bigram_logprob,
                 ntile(10) OVER (ORDER BY s DESC, doc_id) AS bucket
          FROM per""",
+
+    // q72: the whole curation chain replayed stage-for-stage — dedup
+    // window keep, per-doc quality -> domain verdicts over the DEDUPED
+    // corpus, md5-order sample, cumulative packing
+    "q72_curation_pipeline" ->
+      """WITH corpus AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, source, text FROM documents
+           WHERE doc_id < 30
+         ), kept AS (
+           SELECT doc_id, source, text FROM (
+             SELECT doc_id, source, text, min(doc_id) OVER (
+               PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+             ) AS keep
+             FROM corpus)
+           WHERE doc_id = keep
+         ), q AS (
+           SELECT doc_id, source, text, round(greatest(0.0, least(1.0,
+             alpha * lenOk * (1.0 - digit * 2))), 4) AS qv
+           FROM (
+             SELECT doc_id, source, text,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[а-яА-ЯёЁ]', '', 'g'))
+                     + length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+                    / length(text) END AS alpha,
+               CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                    / length(text) END AS digit,
+               CASE WHEN (CASE WHEN NOT regexp_matches(text, '\S') THEN 0.0
+                 ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                    / len(string_split_regex(
+                        regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END AS lenOk
+             FROM kept) f
+         ), bad AS (
+           SELECT source FROM q GROUP BY source
+           HAVING round(avg(qv), 4) < 0.8215 OR count(*) < 10
+         ), samp AS (
+           SELECT doc_id, source, text FROM q
+           WHERE source NOT IN (SELECT source FROM bad)
+             AND substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 2)
+                 < 'c0'
+         ), counted AS (
+           SELECT doc_id, source,
+             CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+               ELSE len(string_split_regex(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+               AS n_tokens
+           FROM samp
+         )
+         SELECT doc_id, source, n_tokens,
+           CAST(floor(cum0 / 512) AS BIGINT) AS pack_id,
+           CAST(cum0 % 512 AS BIGINT) AS pack_offset
+         FROM (
+           SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+           FROM counted)""",
 
     // q71: the q38 per-doc quality replayed, aggregated per source;
     // verdicts on the ROUNDED mean (bit-stable across engines)

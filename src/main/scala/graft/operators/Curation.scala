@@ -380,6 +380,23 @@ object Curation {
     df.withColumn("bucket", bucket)
   }
 
+  /** The k-1 descending thresholds for [[qualityBucketsByThreshold]]
+    * from ONE `percentile_approx` aggregate (map-side-combinable
+    * KLL-style sketch, driver gets k-1 doubles) — the corpus-scale
+    * threshold source: at 100 TB this is a single cheap pass, after
+    * which bucket assignment costs nothing beyond the scan that reads
+    * the score. Exactness is the sketch's `accuracy` parameter; bucket
+    * POPULATIONS are then approximately (not exactly) equal, which is
+    * the standard CCNet trade.
+    */
+  def scoreThresholds(df: DataFrame, scoreCol: Column, k: Int,
+                      accuracy: Int = 10000): Seq[Double] = {
+    require(k >= 2, "need at least 2 buckets")
+    val ps = array((1 until k).map(i => lit(1.0 - i.toDouble / k)): _*)
+    df.agg(percentile_approx(scoreCol, ps, lit(accuracy)).as("t"))
+      .first().getSeq[Double](0).toSeq
+  }
+
   /** Domain-level curation — the per-domain gate of web-scale pipelines
     * (C4 / RefinedWeb domain rules, Gopher per-source filters;
     * PAPERS.md): judge each domain on AGGREGATED evidence (mean per-doc

@@ -307,6 +307,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreThresholds feeds the threshold form: one aggregate, " +
+    "near-equal buckets") {
+    val s = spark
+    import s.implicits._
+    val scored = (1L to 100L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    val thr = Curation.scoreThresholds(scored, col("s"), 4)
+    assert(thr.size == 3 && thr.sliding(2).forall(w => w(0) > w(1)), thr)
+    val sizes = Curation.qualityBucketsByThreshold(scored, col("s"), thr)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4), sizes)
+    // KLL sketch at accuracy 10^4 over 100 distinct values: near-exact
+    assert(sizes.values.forall(n => n >= 20 && n <= 30), sizes)
+  }
+
   test("dropLowQualityDomains cuts failing domains wholesale via a " +
     "broadcast anti-join") {
     val s = spark
