@@ -856,6 +856,42 @@ object SparkEntry {
         .select(col("doc_id"), col("s").as("bigram_logprob"), col("bucket"))
     }),
 
+    "q73_corpus_report" -> ((s, dir) => {
+      // the dataset-card report: ONE corpus pass aggregating the
+      // card-level signals per (lang, source) — doc/token/char volume,
+      // mean quality, exact-dup count (count - countDistinct over the
+      // 128-bit fingerprint; dups planted q55-style so the column is
+      // exercised). All map-side-combinable aggregates over a narrow
+      // derived projection; at 100 TB this is the cheapest full-corpus
+      // job there is (one scan, one shuffle of partial aggregates keyed
+      // by ~|lang x source| groups)
+      val d73 = t(s, dir, "documents").select("doc_id", "lang", "source",
+        "text")
+      d73.unionByName(d73.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+            col("source"), col("text")))
+        .select(col("lang"), col("source"),
+          graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+            .as("_tok"),
+          length(col("text")).cast("long").as("_len"),
+          TextStats.qualityScore(col("text")).as("_q"),
+          TextStats.fingerprint(col("text")).as("_fp"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("_tok").as("total_tokens"),
+          sum("_len").as("total_chars"),
+          // integer-exact mean, NO final rounding: per-doc q has exactly
+          // 4 decimals, so sum the 1e4-scaled integers (order-free,
+          // exact) and divide once — identical integer operands give a
+          // bit-identical IEEE quotient in every engine. Both float
+          // summation ORDER and round-at-the-half-boundary ALGORITHM
+          // differ between engines (one group's exact .00005-boundary
+          // mean flipped 0.8221/0.8222 under avg-then-round)
+          (sum(round(col("_q") * 10000).cast("long")).cast("double")
+            / (count(lit(1)) * 10000.0)).as("avg_quality"),
+          (count(lit(1)) - countDistinct("_fp")).as("n_exact_dups"))
+    }),
+
     "q72_curation_pipeline" -> ((s, dir) => {
       // the curation-side flagship (q48's analog): planted exact dups ->
       // dropExactDups (128-bit collapse, min-id keep) -> domain filter
@@ -2252,6 +2288,46 @@ object SparkEntry {
          SELECT doc_id, s AS bigram_logprob,
                 ntile(10) OVER (ORDER BY s DESC, doc_id) AS bucket
          FROM per""",
+
+    // q73: the dataset card re-derived — token count via the same
+    // whitespace rule, quality via the q38 replay, dup count over the
+    // normalized-text groups (md5 is collision-free at this scale, so
+    // distinct fingerprints = distinct normalized texts)
+    "q73_corpus_report" ->
+      """WITH docs73 AS (
+           SELECT lang, source, text FROM documents
+           UNION ALL
+           SELECT lang, source, text FROM documents WHERE doc_id < 30
+         )
+         SELECT lang, source, count(*) AS n_docs,
+           sum(CASE WHEN NOT regexp_matches(text, '\S') THEN 0
+             ELSE len(string_split_regex(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+             )::BIGINT AS total_tokens,
+           sum(length(text))::BIGINT AS total_chars,
+           sum(CAST(round(round(greatest(0.0, least(1.0,
+               alpha * lenOk * (1.0 - digit * 2))), 4) * 10000) AS BIGINT)
+             )::DOUBLE
+             / (count(*) * 10000.0) AS avg_quality,
+           count(*) - count(DISTINCT
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS n_exact_dups
+         FROM (
+           SELECT lang, source, text,
+             CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[а-яА-ЯёЁ]', '', 'g'))
+                   + length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE
+                  / length(text) END AS alpha,
+             CASE WHEN length(text) = 0 THEN 0.0
+               ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                  / length(text) END AS digit,
+             CASE WHEN (CASE WHEN NOT regexp_matches(text, '\S') THEN 0.0
+               ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                  / len(string_split_regex(
+                      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END)
+               BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END AS lenOk
+           FROM docs73) f
+         GROUP BY lang, source""",
 
     // q72: the whole curation chain replayed stage-for-stage — dedup
     // window keep, per-doc quality -> domain verdicts over the DEDUPED

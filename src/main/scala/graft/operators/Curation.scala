@@ -393,8 +393,15 @@ object Curation {
                       accuracy: Int = 10000): Seq[Double] = {
     require(k >= 2, "need at least 2 buckets")
     val ps = array((1 until k).map(i => lit(1.0 - i.toDouble / k)): _*)
-    df.agg(percentile_approx(scoreCol, ps, lit(accuracy)).as("t"))
-      .first().getSeq[Double](0).toSeq
+    val row = df.agg(percentile_approx(scoreCol, ps, lit(accuracy)).as("t"))
+      .first()
+    if (row.isNullAt(0)) Seq.empty // empty/all-null input: no thresholds
+    else
+      // skewed or low-cardinality scores (e.g. rounded ones) produce
+      // TIED quantiles; collapse them so the result always satisfies
+      // [[qualityBucketsByThreshold]]'s strictly-descending contract
+      // (tied buckets merge — fewer, bigger buckets, never a throw)
+      row.getSeq[Double](0).distinct.toSeq
   }
 
   /** Domain-level curation — the per-domain gate of web-scale pipelines
@@ -415,8 +422,13 @@ object Curation {
     val bad = df.groupBy(col(domainCol))
       .agg(round(avg(qualityCol), 4).as("_mq"), count(lit(1)).as("_nd"))
       .filter(col("_mq") < minMeanQuality || col("_nd") < minDocs)
-      .select(col(domainCol))
-    df.join(broadcast(bad), Seq(domainCol), "left_anti")
+      .select(col(domainCol).as("_bad_domain"))
+    // null-SAFE anti-join: the NULL-domain group gets a verdict like any
+    // other (groupBy keeps it), and `<=>` makes the cut apply to it —
+    // a plain equality anti-join would silently KEEP every null-domain
+    // row, exactly the lowest-provenance slice of a web corpus
+    df.join(broadcast(bad), col(domainCol) <=> col("_bad_domain"),
+        "left_anti")
   }
 
   // ---------- PII scrubbing ----------

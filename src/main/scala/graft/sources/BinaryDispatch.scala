@@ -26,25 +26,25 @@ object BinaryDispatch {
     extends Decoded
   final case class DecodedText(format: String, text: String) extends Decoded
 
-  /** Content-magic format sniff: doc / xls / docx / xlsx / pdf / text. */
-  def sniff(bytes: Array[Byte]): String = {
-    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
-        bytes(2) == 'D' && bytes(3) == 'F') return "pdf"
-    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xD0 &&
-        (bytes(1) & 0xFF) == 0xCF && (bytes(2) & 0xFF) == 0x11 &&
-        (bytes(3) & 0xFF) == 0xE0) {
+  /** Content-magic format sniff: doc / xls / docx / xlsx / pdf / text.
+    * Magic-byte tests live in ONE place ([[coarseSniff]]); this refines
+    * the two container families by opening them, so it can throw on
+    * corrupt containers (which is why [[safeDecode]] attributes errors
+    * with the coarse family instead).
+    */
+  def sniff(bytes: Array[Byte]): String = coarseSniff(bytes) match {
+    case "cfb" =>
       val streams = CfbDecode.streams(bytes).keySet
-      return if (streams.contains("WordDocument")) "doc"
-      else if (streams.contains("Workbook") || streams.contains("Book")) "xls"
+      if (streams.contains("WordDocument")) "doc"
+      else if (streams.contains("Workbook") || streams.contains("Book"))
+        "xls"
       else "cfb"
-    }
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K') {
+    case "zip" =>
       val entries = OoxmlDecode.zipEntries(bytes).keySet
-      return if (entries.contains("word/document.xml")) "docx"
+      if (entries.contains("word/document.xml")) "docx"
       else if (entries.contains("xl/workbook.xml")) "xlsx"
       else "zip"
-    }
-    "text"
+    case f => f
   }
 
   /** Magic-bytes-only coarse sniff — a pure byte test that NEVER throws

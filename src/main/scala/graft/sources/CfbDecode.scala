@@ -38,7 +38,6 @@ object CfbDecode {
       "not a CFB (OLE2) container")
     val sectorSize = 1 << u16(bytes, 0x1E)
     val miniSize = 1 << u16(bytes, 0x20)
-    val numDifatSectors = i32(bytes, 0x48)
     val firstDirSector = i32(bytes, 0x30)
     val miniCutoff = i32(bytes, 0x38)
     val firstMiniFat = i32(bytes, 0x3C)
@@ -60,16 +59,20 @@ object CfbDecode {
       if (v != FreeSect) fatSectorIds += v
     }
     var difat = firstDifat
-    var difatSeen = 0
-    while (difat != EndOfChain && difat != FreeSect &&
-        difatSeen <= numDifatSectors) {
+    // numDifatSectors is untrusted; the only sound bounds are the file
+    // itself: a DIFAT sector must exist in the file (maxSectors) and
+    // can appear once (cycle guard) — without these a self-pointing
+    // DIFAT sector spins ~2^31 iterations growing fatSectorIds
+    val difatSeen = scala.collection.mutable.Set[Int]()
+    while (difat != EndOfChain && difat != FreeSect) {
+      require(difatSeen.add(difat) && difatSeen.size <= maxSectors,
+        s"bad DIFAT chain at sector $difat")
       val s = sector(difat)
       for (i <- 0 until sectorSize / 4 - 1) {
         val v = i32(s, 4 * i)
         if (v != FreeSect) fatSectorIds += v
       }
       difat = i32(s, sectorSize - 4)
-      difatSeen += 1
     }
     val fat: Array[Int] =
       fatSectorIds.toArray.flatMap(id => {

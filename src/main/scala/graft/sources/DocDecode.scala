@@ -105,7 +105,9 @@ object DocDecode {
             val lcb = i32(table, off + 1)
             // untrusted length: the PlcPcd must fit inside the table
             // stream, else a corrupt lcb drives an O(lcb) allocation
-            require(lcb >= 4 && off + 5 + lcb <= table.length,
+            // (compare in Long — off + 5 + lcb wraps negative for
+            // lcb near Int.MaxValue and would pass an Int compare)
+            require(lcb >= 4 && off.toLong + 5 + lcb <= table.length,
               s"PlcPcd length $lcb out of range")
             val plc = off + 5
             val n = (lcb - 4) / 12

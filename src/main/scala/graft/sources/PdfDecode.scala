@@ -42,6 +42,10 @@ object PdfDecode {
   def objects(bytes: Array[Byte]): Map[Int, Obj] = {
     val s = new String(bytes, "ISO-8859-1")
     val out = Map.newBuilder[Int, Obj]
+    // the inflation cap is a PER-FILE budget shared by every stream
+    // (the OoxmlDecode per-container discipline): 40 sub-cap bombs in
+    // one file must not multiply into 40x the cap
+    var inflateBudget = maxInflatedBytes
     for (m <- objRe.findAllMatchIn(s)) {
       val num = m.group(1).toInt
       val bodyStart = m.end
@@ -65,7 +69,11 @@ object PdfDecode {
           }
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           val data =
-            if (dict.contains("/FlateDecode")) inflate(raw) else raw
+            if (dict.contains("/FlateDecode")) {
+              val d = inflate(raw, inflateBudget)
+              inflateBudget -= d.length
+              d
+            } else raw
           out += num -> Obj(num, dict, Some(data))
         } else {
           out += num -> Obj(num, body, None)
@@ -75,13 +83,15 @@ object PdfDecode {
     out.result()
   }
 
-  /** Hard cap on total inflated bytes per stream — one pathological row
-    * (a flate bomb) cannot blow task memory at corpus scale (same
-    * rationale as [[OoxmlDecode.maxInflatedBytes]]).
+  /** Hard cap on total inflated bytes per FILE — one pathological row
+    * (a flate bomb, or many sub-cap bombs) cannot blow task memory at
+    * corpus scale (same per-container rationale as
+    * [[OoxmlDecode.maxInflatedBytes]]; `objects` threads the remaining
+    * budget through every stream it inflates).
     */
   val maxInflatedBytes: Long = 256L * 1024 * 1024
 
-  private def inflate(raw: Array[Byte]): Array[Byte] = {
+  private def inflate(raw: Array[Byte], budget: Long): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(raw)
     val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 4))
@@ -92,10 +102,10 @@ object PdfDecode {
       val n = inf.inflate(buf)
       if (n > 0) {
         total += n
-        if (total > maxInflatedBytes) {
+        if (total > budget) {
           inf.end()
           throw new IllegalArgumentException(
-            s"stream inflates past $maxInflatedBytes bytes")
+            s"streams inflate past the $maxInflatedBytes-byte file budget")
         }
         out.write(buf, 0, n)
       } else stuck = inf.needsInput() || inf.needsDictionary()

@@ -322,6 +322,38 @@ class CurationSpec extends AnyFunSuite {
     assert(sizes.values.forall(n => n >= 20 && n <= 30), sizes)
   }
 
+  test("scoreThresholds collapses tied quantiles and is empty on " +
+    "empty input") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share one score: quantile ties collapse to fewer,
+    // strictly-descending thresholds byThreshold still accepts
+    val skewed = ((1L to 90L).map(i => (i, 5.0)) ++
+      (91L to 100L).map(i => (i, i.toDouble))).toDF("doc_id", "s")
+    val thr = Curation.scoreThresholds(skewed, col("s"), 10)
+    assert(thr.nonEmpty &&
+      thr.sliding(2).forall(w => w.size < 2 || w(0) > w(1)), thr)
+    Curation.qualityBucketsByThreshold(skewed, col("s"), thr).count()
+    val empty = Curation.scoreThresholds(
+      skewed.filter(col("s") < 0), col("s"), 4)
+    assert(empty.isEmpty, empty)
+  }
+
+  test("dropLowQualityDomains judges the NULL-domain group too") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Option("good.com"), 0.9), (2L, Option("good.com"), 0.8),
+      (3L, Option.empty[String], 0.1), (4L, Option.empty[String], 0.2))
+      .toDF("doc_id", "domain", "q")
+    // the null-domain group fails the floor -> its docs must be CUT
+    // (a plain equality anti-join would silently keep them)
+    val kept = Curation.dropLowQualityDomains(df, "domain", col("q"),
+        minMeanQuality = 0.5, minDocs = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("dropLowQualityDomains cuts failing domains wholesale via a " +
     "broadcast anti-join") {
     val s = spark

@@ -73,18 +73,14 @@ class DecodeFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("flate bomb is rejected by the inflation cap, not task memory") {
-    // a 1 MB zlib stream of zeros inflates ~1000x per level; nest the
-    // PDF around a stream declaring FlateDecode over highly-compressible
-    // bytes and cap-check via a tiny synthetic: deflate 512 MB of zeros
-    // down and confirm the decoder throws the cap error instead of
-    // materializing it
+  /** Deflate of `mb` MB of zeros (a ~1000x-ratio flate blob). */
+  private def zeroBomb(mb: Int): Array[Byte] = {
     val deflater = new java.util.zip.Deflater(9)
-    val zeros = new Array[Byte](4 * 1024 * 1024)
+    val zeros = new Array[Byte](1024 * 1024)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](65536)
     deflater.setInput(zeros)
-    for (_ <- 0 until 128) { // 128 x 4 MB = 512 MB declared
+    for (_ <- 0 until mb) {
       var n = deflater.deflate(buf)
       while (n > 0) { out.write(buf, 0, n); n = deflater.deflate(buf) }
       deflater.setInput(zeros)
@@ -92,15 +88,69 @@ class DecodeFuzzSpec extends AnyFunSuite {
     deflater.finish()
     var n = deflater.deflate(buf)
     while (n > 0) { out.write(buf, 0, n); n = deflater.deflate(buf) }
-    val flate = out.toByteArray
+    out.toByteArray
+  }
+
+  private def pdfWithStreams(flates: Seq[Array[Byte]]): Array[Byte] = {
     val pdf = new java.io.ByteArrayOutputStream()
-    val head = "%PDF-1.4\n1 0 obj << /Length " + flate.length +
-      " /Filter /FlateDecode >>\nstream\n"
-    pdf.write(head.getBytes("ISO-8859-1"))
-    pdf.write(flate)
-    pdf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
-    val r = BinaryDispatch.safeDecode(pdf.toByteArray)
-    assert(r.status == "error", r.toString)
-    assert(r.error == "IllegalArgumentException", r.toString)
+    pdf.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    flates.zipWithIndex.foreach { case (flate, i) =>
+      val head = s"${i + 1} 0 obj << /Length ${flate.length}" +
+        " /Filter /FlateDecode >>\nstream\n"
+      pdf.write(head.getBytes("ISO-8859-1"))
+      pdf.write(flate)
+      pdf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    pdf.toByteArray
+  }
+
+  test("flate bomb is rejected by the inflation budget, not task memory") {
+    // one 512 MB bomb: the budget error must be the SPECIFIC failure
+    // (asserted on the message via the raw decoder — a generic
+    // no-/Catalog error after materializing 512 MB would also reach
+    // status=error, which is exactly the regression this test pins out)
+    val e = intercept[IllegalArgumentException] {
+      PdfDecode.pages(pdfWithStreams(Seq(zeroBomb(512))))
+    }
+    assert(e.getMessage.contains("inflate past"), e.getMessage)
+    val r = BinaryDispatch.safeDecode(pdfWithStreams(Seq(zeroBomb(512))))
+    assert(r.status == "error" && r.error == "IllegalArgumentException",
+      r.toString)
+  }
+
+  test("many sub-cap bombs share one per-file budget") {
+    // 10 x 30 MB streams: each under the cap, 300 MB total over it —
+    // the per-file budget must fire even though no single stream trips
+    val bomb = zeroBomb(30)
+    val e = intercept[IllegalArgumentException] {
+      PdfDecode.pages(pdfWithStreams(Seq.fill(10)(bomb)))
+    }
+    assert(e.getMessage.contains("inflate past"), e.getMessage)
+  }
+
+  test("cyclic DIFAT chain terminates with an error, not a spin") {
+    // hand-build a 1024-byte CFB whose header declares a DIFAT sector
+    // at sector 0 pointing back to itself
+    val b = new Array[Byte](1024)
+    val magic =
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    System.arraycopy(magic, 0, b, 0, 8)
+    def put16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(off: Int, v: Int): Unit = {
+      var i = 0
+      while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 }
+    }
+    put16(0x1E, 9) // 512-byte sectors
+    put16(0x20, 6) // 64-byte mini sectors
+    put32(0x48, Int.MaxValue) // numDifatSectors: untrusted, huge
+    put32(0x44, 0) // first DIFAT sector = sector 0
+    java.util.Arrays.fill(b, 0x4C, 0x4C + 4 * 109, 0xFF.toByte) // header DIFAT free
+    java.util.Arrays.fill(b, 512, 1024, 0xFF.toByte)
+    put32(512 + 508, 0) // DIFAT next-pointer -> itself (the cycle)
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] { CfbDecode.streams(b) }
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "guard must fire fast")
   }
 }
