@@ -108,4 +108,28 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("IN (0,1)") || plan.contains("isin"), plan)
   }
+
+  test("q73 dataset card: map-side combine, scan pruned to 4 columns") {
+    val plan = graft.SparkEntry.queries("q73_corpus_report")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial aggregation below the exchange (count/sum combine map-side;
+    // the countDistinct leg runs the standard two-phase expand)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan)
+    assert(plan.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>")
+      || plan.contains(
+      "ReadSchema: struct<doc_id:bigint,lang:string,source:string,text:string>"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q72 curation pipeline: verdict + sample join sides broadcast, " +
+    "no cartesian") {
+    val plan = graft.SparkEntry.queries("q72_curation_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
