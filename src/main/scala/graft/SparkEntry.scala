@@ -856,6 +856,25 @@ object SparkEntry {
         .select(col("doc_id"), col("s").as("bigram_logprob"), col("bucket"))
     }),
 
+    "q74_ivf_sq8" -> ((s, dir) => {
+      // IVF over int8-quantized vectors (the FAISS IVF-SQ8 memory
+      // shape): the stored column is 4x narrower (int8 array + one
+      // scale), pivot sampling, assignment and probe re-rank all run on
+      // DEQUANTIZED vectors while the query stays full precision. At
+      // 100 TB the embedding table's byte width IS the scan cost — this
+      // is the compression+layout composition of q53 and q46, and its
+      // oracle replays quantize -> dequantize -> IVF end-to-end
+      val e = t(s, dir, "embeddings")
+      val dq = e.select(col("vec_id"),
+        Similarity.dequantize(Similarity.quantizeInt8(col("embedding")))
+          .as("dq"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0)
+      val pivots = Similarity.samplePivots(dq, "dq", "vec_id", 16)
+      Similarity.ivfTopK(dq, "dq", "vec_id", qv, 10, pivots, nprobe = 4)
+    }),
+
     "q73_corpus_report" -> ((s, dir) => {
       // the dataset-card report: ONE corpus pass aggregating the
       // card-level signals per (lang, source) — doc/token/char volume,
@@ -2288,6 +2307,49 @@ object SparkEntry {
          SELECT doc_id, s AS bigram_logprob,
                 ntile(10) OVER (ORDER BY s DESC, doc_id) AS bucket
          FROM per""",
+
+    // q74: quantize (the q53 arithmetic) -> dequantize -> the full q46
+    // IVF replay over the dequantized vectors; q53's green oracle is
+    // what proves the dq arrays are bit-identical across engines
+    "q74_ivf_sq8" ->
+      """WITH qz AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> abs(x))) / 127.0 AS scale
+           FROM embeddings
+         ), z AS (
+           SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x ->
+                    greatest(-127.0, least(127.0, round(x / scale, 0))) * scale)
+             END AS dq
+           FROM qz
+         ), pivots AS (
+           SELECT dq AS pv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) - 1 AS pidx
+           FROM z
+           QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) <= 16
+         ), q AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+         ), assign AS (
+           SELECT vec_id, pidx FROM (
+             SELECT e.vec_id, p.pidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY 1 - list_cosine_similarity(e.dq, p.pv), p.pidx) AS rn
+             FROM z e CROSS JOIN pivots p) WHERE rn = 1
+         ), probes AS (
+           SELECT pidx FROM (
+             SELECT p.pidx,
+               row_number() OVER (ORDER BY 1 - list_cosine_similarity(q.qv, p.pv), p.pidx) AS rn
+             FROM pivots p, q) WHERE rn <= 4
+         )
+         SELECT e.vec_id,
+           round(list_cosine_similarity(e.dq, q.qv), 6) AS cos
+         FROM z e
+         JOIN assign a ON e.vec_id = a.vec_id
+         JOIN probes pr ON a.pidx = pr.pidx, q
+         ORDER BY cos DESC, e.vec_id
+         LIMIT 10""",
 
     // q73: the dataset card re-derived — token count via the same
     // whitespace rule, quality via the q38 replay, dup count over the

@@ -122,6 +122,37 @@ object StreamExtract {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming binary decode: [[graft.sources.BinaryDispatch.safeDecode]]
+    * under a `binaryFile` readStream — a landing-zone directory of raw
+    * document files becomes an append stream of per-file decode rows
+    * `(path, format, status, n_units)`. Stateless per file (no watermark,
+    * no state store); a corrupt file yields an error ROW, never a dead
+    * stream — the q69 corpus-scan contract carried to the streaming
+    * ingest path. `n_units` is the format's natural unit count
+    * (paragraphs / sheet rows / stakeholders / chars), the cheap signal
+    * a landing-zone monitor alerts on.
+    */
+  def decodeStream(files: DataFrame): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    import graft.sources.BinaryDispatch._
+    files.select("path", "content").as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val r = safeDecode(bytes)
+        val nUnits: Long = r.decoded match {
+          case Some(DecodedDoc(_, md)) =>
+            md.documents.map(_.paragraphs.size.toLong).sum
+          case Some(DecodedSheets(_, sheets)) =>
+            sheets.map(_.rows.size.toLong).sum
+          case Some(DecodedPdf(_, stakeholders)) => stakeholders.size.toLong
+          case Some(DecodedText(_, text)) => text.length.toLong
+          case None => 0L
+        }
+        (path, r.format, r.status, nUnits)
+      }
+      .toDF("path", "format", "status", "n_units")
+  }
+
   /** Convenience: run the streaming extraction over a parquet directory
     * source into an in-memory sink (test/smoke path) or parquet sink.
     */

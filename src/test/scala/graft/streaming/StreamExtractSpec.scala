@@ -9,6 +9,38 @@ class StreamExtractSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  test("streaming decode: corrupt files become error rows, the stream " +
+    "survives and picks up late arrivals") {
+    import graft.sources.OoxmlCorpus
+    val dir = Files.createTempDirectory("graft-stream-decode").toString
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$dir/$name"), bytes)
+    put("doc_00001.docx", OoxmlCorpus.docxBytes(1))
+    put("doc_00002.pdf", OoxmlCorpus.corruptPdfBytes(2))
+    put("doc_00003.txt", OoxmlCorpus.garbageBytes(3))
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .load(dir)
+    val q = StreamExtract.decodeStream(stream).writeStream
+      .format("memory").queryName("decoded").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got(): Seq[(String, String)] = spark.table("decoded").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq.sorted
+      assert(got() ==
+        Seq("docx" -> "ok", "pdf" -> "error", "text" -> "ok").sorted)
+      // the corrupt file did NOT kill the stream: late files still land
+      put("doc_00004.xls", OoxmlCorpus.xlsBytes(4))
+      q.processAllAvailable()
+      assert(got() == Seq("docx" -> "ok", "pdf" -> "error", "text" -> "ok",
+        "xls" -> "ok").sorted)
+      // and n_units carries the per-format unit counts
+      val units = spark.table("decoded").collect()
+        .map(r => (r.getString(1), r.getLong(3))).toMap
+      assert(units("docx") > 0 && units("xls") > 0 && units("pdf") == 0)
+    } finally q.stop()
+  }
+
   test("streaming extraction equals batch extraction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-in").toString
