@@ -1000,8 +1000,7 @@ object SparkEntry {
         .flatMap { case (path, bytes) =>
           val base = path.substring(path.lastIndexOf('/') + 1)
           val fileId = base.stripPrefix("doc_").stripSuffix(".pdf").toInt
-          val pages = graft.sources.PdfDecode.pages(bytes)
-          val w = graft.sources.PdfDecode.pageWidth(bytes)
+          val (pages, w) = graft.sources.PdfDecode.pagesWithWidth(bytes)
           graft.core.PdfTable.parseStakeholderPages(pages, w)
             .zipWithIndex.map { case (st, si) =>
               (fileId, si, st.name,
@@ -2430,7 +2429,8 @@ object SparkEntry {
            HAVING round(avg(qv), 4) < 0.8215 OR count(*) < 10
          ), samp AS (
            SELECT doc_id, source, text FROM q
-           WHERE source NOT IN (SELECT source FROM bad)
+           WHERE NOT EXISTS (SELECT 1 FROM bad b
+               WHERE q.source IS NOT DISTINCT FROM b.source)
              AND substring(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 2)
                  < 'c0'
          ), counted AS (
@@ -2476,7 +2476,8 @@ object SparkEntry {
            HAVING round(avg(qv), 4) < 0.8215 OR count(*) < 10
          )
          SELECT doc_id, source FROM q
-         WHERE source NOT IN (SELECT source FROM bad)""",
+         WHERE NOT EXISTS (SELECT 1 FROM bad b
+           WHERE q.source IS NOT DISTINCT FROM b.source)""",
 
     // q66: the decoded pixel/sample statistics re-derived from the
     // closed-form content formulas (PNG and PCM are lossless, so the

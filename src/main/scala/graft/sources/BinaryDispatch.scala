@@ -99,8 +99,8 @@ object BinaryDispatch {
   /** Decode any supported document (the reference's one-call entry). */
   def decode(bytes: Array[Byte]): Decoded = sniff(bytes) match {
     case "pdf" =>
-      DecodedPdf("pdf", PdfTable.parseStakeholderPages(
-        PdfDecode.pages(bytes), PdfDecode.pageWidth(bytes)))
+      val (pages, width) = PdfDecode.pagesWithWidth(bytes)
+      DecodedPdf("pdf", PdfTable.parseStakeholderPages(pages, width))
     case "doc" => DecodedDoc("doc", DocDecode.decodeDoc(bytes))
     case "docx" => DecodedDoc("docx", OoxmlDecode.decodeDocx(bytes))
     case "xls" => DecodedSheets("xls", XlsDecode.decodeXls(bytes))

@@ -62,7 +62,11 @@ object PdfDecode {
           if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
           val len = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
           val dataEnd = len match {
-            case Some(l) if dataStart + l <= endObj + bodyStart => dataStart + l
+            // dataStart and endObj are both absolute offsets into s: an
+            // over-declared /Length must fall back to the endstream
+            // scan, not swallow the trailing keywords + following object
+            case Some(l) if l >= 0 && dataStart.toLong + l <= endObj =>
+              dataStart + l
             case _ =>
               val e = s.indexOf("endstream", dataStart)
               if (e < 0) dataStart else e
@@ -304,6 +308,16 @@ object PdfDecode {
   def pages(bytes: Array[Byte]): Seq[Page] = {
     val (streams, _) = pageStreams(bytes)
     streams.map(interpret)
+  }
+
+  /** One-parse form: pages AND media width from a single object scan —
+    * what [[graft.sources.BinaryDispatch.decode]] uses (calling
+    * `pages` + `pageWidth` separately would object-scan and re-inflate
+    * every stream twice, doubling the per-file inflation work).
+    */
+  def pagesWithWidth(bytes: Array[Byte]): (Seq[Page], Float) = {
+    val (streams, w) = pageStreams(bytes)
+    (streams.map(interpret), w)
   }
 
   /** Media width of the first /MediaBox seen (the stakeholder pipeline's

@@ -131,12 +131,20 @@ object StreamExtract {
     * ingest path. `n_units` is the format's natural unit count
     * (paragraphs / sheet rows / stakeholders / chars), the cheap signal
     * a landing-zone monitor alerts on.
+    *
+    * Files over `maxBytes` become error rows WITHOUT their content ever
+    * being read: the length predicate is pushed into the binaryFile
+    * source, which would otherwise throw on oversized files at the
+    * scan (killing the query before safeDecode could contain anything —
+    * per-row totality cannot guard a source-level throw).
     */
-  def decodeStream(files: DataFrame): DataFrame = {
+  def decodeStream(files: DataFrame,
+                   maxBytes: Long = 512L * 1024 * 1024): DataFrame = {
     val s = files.sparkSession
     import s.implicits._
     import graft.sources.BinaryDispatch._
-    files.select("path", "content").as[(String, Array[Byte])]
+    val decoded = files.filter(col("length") <= maxBytes)
+      .select("path", "content").as[(String, Array[Byte])]
       .map { case (path, bytes) =>
         val r = safeDecode(bytes)
         val nUnits: Long = r.decoded match {
@@ -151,6 +159,10 @@ object StreamExtract {
         (path, r.format, r.status, nUnits)
       }
       .toDF("path", "format", "status", "n_units")
+    val oversized = files.filter(col("length") > maxBytes)
+      .select(col("path"), lit("oversize").as("format"),
+        lit("error").as("status"), lit(0L).as("n_units"))
+    decoded.unionByName(oversized)
   }
 
   /** Convenience: run the streaming extraction over a parquet directory

@@ -109,11 +109,12 @@ class DecodeFuzzSpec extends AnyFunSuite {
     // (asserted on the message via the raw decoder — a generic
     // no-/Catalog error after materializing 512 MB would also reach
     // status=error, which is exactly the regression this test pins out)
+    val bombPdf = pdfWithStreams(Seq(zeroBomb(512)))
     val e = intercept[IllegalArgumentException] {
-      PdfDecode.pages(pdfWithStreams(Seq(zeroBomb(512))))
+      PdfDecode.pages(bombPdf)
     }
     assert(e.getMessage.contains("inflate past"), e.getMessage)
-    val r = BinaryDispatch.safeDecode(pdfWithStreams(Seq(zeroBomb(512))))
+    val r = BinaryDispatch.safeDecode(bombPdf)
     assert(r.status == "error" && r.error == "IllegalArgumentException",
       r.toString)
   }

@@ -41,6 +41,31 @@ class StreamExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decode: oversized files become error rows without a " +
+    "content read") {
+    import graft.sources.OoxmlCorpus
+    val dir = Files.createTempDirectory("graft-stream-oversize").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/big.docx"),
+      OoxmlCorpus.docxBytes(1))
+    Files.write(java.nio.file.Paths.get(s"$dir/small.txt"),
+      OoxmlCorpus.garbageBytes(1)) // 214 bytes, under the cap below
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .load(dir)
+    val q = StreamExtract.decodeStream(stream, maxBytes = 300).writeStream
+      .format("memory").queryName("decoded_ovr").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("decoded_ovr").collect().map { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        (name, r.getString(1), r.getString(2))
+      }.toSeq.sorted
+      assert(rows == Seq(("big.docx", "oversize", "error"),
+        ("small.txt", "text", "ok")).sorted, rows)
+    } finally q.stop()
+  }
+
   test("streaming extraction equals batch extraction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-in").toString
