@@ -937,6 +937,22 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    "q75_buckets_by_lang" -> ((s, dir) => {
+      // the per-language CCNet cut (the form CCNet actually ships):
+      // bigram LM score ranked WITHIN each language, 5 buckets — the
+      // scale-correct window shape (one shuffle on lang, no global
+      // single-task sort)
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val scored = operators.Curation.bigramLogProb(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .select(col("doc_id"), round(col("bigram_logprob"), 6).as("s"))
+        .join(docs, "doc_id")
+      operators.Curation.qualityBucketsBy(scored, col("s"), "lang",
+          "doc_id", 5)
+        .select(col("doc_id"), col("lang"), col("s").as("bigram_logprob"),
+          col("bucket"))
+    }),
+
     "q71_domain_filter" -> ((s, dir) => {
       // domain-level curation: per-source mean quality + doc support
       // judged in one map-side-combinable aggregate; failing domains cut
@@ -2449,6 +2465,21 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
            FROM counted)""",
+
+    // q75: the q70 LM bucketing cut per language (ntile inside each
+    // lang partition, same rounded-score + doc_id sort keys)
+    "q75_buckets_by_lang" ->
+      s"""$bigramLmCte, per AS (
+           SELECT id AS doc_id, round(avg(lp), 6) AS s
+           FROM sc GROUP BY id
+         ), wl AS (
+           SELECT p.doc_id, d2.lang, p.s
+           FROM per p JOIN documents d2 ON p.doc_id = d2.doc_id
+         )
+         SELECT doc_id, lang, s AS bigram_logprob,
+                ntile(5) OVER (PARTITION BY lang ORDER BY s DESC, doc_id)
+                  AS bucket
+         FROM wl""",
 
     // q71: the q38 per-doc quality replayed, aggregated per source;
     // verdicts on the ROUNDED mean (bit-stable across engines)

@@ -360,6 +360,22 @@ object Curation {
       ntile(k).over(Window.orderBy(scoreCol.desc, col(idCol))))
   }
 
+  /** Per-stratum quality bucketing — the form CCNet actually ships
+    * (head/middle/tail are cut PER LANGUAGE, Wenzek et al. LREC 2020):
+    * rank inside each stratum and cut into k equal-count buckets. This
+    * is also the scale-correct window shape: `Window.partitionBy`
+    * shuffles once on the stratum key and each stratum sorts
+    * independently (external sort on spill) — no single-task global
+    * window (the [[packSequencesBy]] discipline). Prefer this over
+    * [[qualityBuckets]] whenever a stratum column exists.
+    */
+  def qualityBucketsBy(df: DataFrame, scoreCol: Column, stratumCol: String,
+                       idCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    df.withColumn("bucket", ntile(k).over(
+      Window.partitionBy(col(stratumCol)).orderBy(scoreCol.desc, col(idCol))))
+  }
+
   /** Shuffle-free bucket assignment against precomputed thresholds
     * (strictly descending; k = thresholds.size + 1): bucket i+1 is the
     * first i with score >= thresholds(i), else bucket k. Pairs with a

@@ -307,6 +307,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityBucketsBy ranks inside each stratum over a hash-" +
+    "partitioned window (no single-task global sort)") {
+    val s = spark
+    import s.implicits._
+    val scored = (1L to 20L).map(i =>
+      (i, if (i <= 10) "en" else "ru", 100.0 - i)).toDF("doc_id", "lang", "s")
+    val df = Curation.qualityBucketsBy(scored, col("s"), "lang", "doc_id", 5)
+    val got = df.select("doc_id", "lang", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // each language buckets independently: 10 docs / 5 buckets = 2 each
+    for (lang <- Seq("en", "ru")) {
+      val sizes = got.filter(_._2 == lang).groupBy(_._3).map(_._2.size)
+      assert(sizes.toSeq == Seq.fill(5)(2), s"$lang: ${sizes.toSeq}")
+    }
+    // best en score (doc 1) and best ru score (doc 11) both land in
+    // bucket 1 of their own stratum
+    assert(got.find(_._1 == 1L).get._3 == 1)
+    assert(got.find(_._1 == 11L).get._3 == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang"), plan)
+  }
+
   test("scoreThresholds feeds the threshold form: one aggregate, " +
     "near-equal buckets") {
     val s = spark
