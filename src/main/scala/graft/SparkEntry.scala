@@ -937,6 +937,26 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    "q76_remove_contaminated_spans" -> ((s, dir) => {
+      // surgical decontamination: docs 20-39 carry a planted benchmark
+      // sentence; the operator cuts ONLY its windows (the q41 drop form
+      // would delete the whole document). The planted 9-token sentence
+      // yields windows at positions 0 and 1 -> covered positions 0..8 =
+      // exactly the plant, so the rebuilt text is the original document
+      // (normalized) — but the oracle replays the full algorithm rather
+      // than assuming that closed form
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val sentence =
+        "Shared eval question sentence for the span decontamination test. "
+      val corpus = d.select(col("doc_id"),
+        when(col("doc_id") >= 20 && col("doc_id") < 40,
+          concat(lit(sentence), col("text")))
+          .otherwise(col("text")).as("text"))
+      val benchmark = s.range(1).select(lit(sentence).as("text"))
+      operators.Curation.removeContaminatedSpans(
+        corpus, benchmark, "text", "doc_id")
+    }),
+
     "q75_buckets_by_lang" -> ((s, dir) => {
       // the per-language CCNet cut (the form CCNet actually ships):
       // bigram LM score ranked WITHIN each language, 5 buckets — the
@@ -2465,6 +2485,58 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
            FROM counted)""",
+
+    // q76: benchmark windows -> covered positions -> token anti-join ->
+    // rebuild (contaminated docs only; clean docs pass through
+    // normalized)
+    "q76_remove_contaminated_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id,
+             CASE WHEN doc_id >= 20 AND doc_id < 40
+               THEN 'Shared eval question sentence for the span decontamination test. ' || text
+               ELSE text END AS text
+           FROM documents
+         ), d AS (
+           SELECT id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM corpus
+         ), bd AS (
+           SELECT string_split(trim(regexp_replace(lower(
+             'Shared eval question sentence for the span decontamination test. '),
+             '\s+', ' ', 'g')), ' ') AS tk
+         ), bkeys AS (
+           SELECT DISTINCT array_to_string(tk[pos+1:pos+8], ' ') AS w
+           FROM (SELECT tk, unnest(range(greatest(len(tk) - 7, 0))) AS pos
+                 FROM bd)
+         ), wins AS (
+           SELECT id, pos::INT AS pos,
+             array_to_string(tk[pos+1:pos+8], ' ') AS w
+           FROM (SELECT id, tk,
+                   unnest(range(greatest(len(tk) - 7, 0))) AS pos
+                 FROM d)
+         ), covered AS (
+           SELECT DISTINCT id, pos + k AS cpos
+           FROM (SELECT wins.id, wins.pos FROM wins
+                 JOIN bkeys USING (w)), range(8) r(k)
+         ), cids AS (
+           SELECT DISTINCT id FROM covered
+         ), toks AS (
+           SELECT d.id, generate_subscripts(tk, 1) - 1 AS pos,
+                  unnest(tk) AS tok
+           FROM d SEMI JOIN cids ON d.id = cids.id
+         ), kept AS (
+           SELECT t.id, t.pos, t.tok FROM toks t
+           ANTI JOIN covered c ON t.id = c.id AND t.pos = c.cpos
+         ), rebuilt AS (
+           SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY id
+         )
+         SELECT c.id AS doc_id,
+           CASE WHEN c.id IN (SELECT id FROM cids)
+                THEN coalesce(r.text_clean, '')
+                ELSE trim(regexp_replace(lower(c.text), '\s+', ' ', 'g'))
+           END AS text_clean
+         FROM corpus c LEFT JOIN rebuilt r ON c.id = r.id""",
 
     // q75: the q70 LM bucketing cut per language (ntile inside each
     // lang partition, same rounded-score + doc_id sort keys)

@@ -64,6 +64,62 @@ object Curation {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Span-level decontamination — the SURGICAL form of [[decontaminate]]
+    * (the ACL'22 removal mechanics pointed at a benchmark key set):
+    * instead of dropping every document that shares a k-shingle with
+    * the benchmark, cut ONLY the overlapping n-token windows and keep
+    * the rest of the text — the form that preserves training data when
+    * contamination is a quoted snippet inside an otherwise-clean doc.
+    *
+    * Scale shape: benchmark keys are distinct md5 shingles, broadcast
+    * (the [[decontaminate]] discipline — the corpus side is scanned,
+    * never shuffled, for the match); only CONTAMINATED docs explode
+    * their token streams for the rebuild (left-semi against the
+    * matched-id set), so the expensive half is proportional to the
+    * contaminated slice, not the corpus. Clean docs pass through as
+    * their normalized text. Output: (idCol, text_clean); a fully
+    * covered doc yields "".
+    */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 8): DataFrame = {
+    val bKeys = benchmark
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("_sh"))
+      .select(md5(col("_sh")).as("_wk")).distinct()
+    val base = corpus.select(col(idCol).cast("long").as("_id"),
+      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
+    // positional window keys (same md5-of-space-joined-window as the
+    // benchmark side); guarded sequence as in removeRepeatedWindows
+    val winRows = base.select(col("_id"),
+        posexplode(when(size(col("_tk")) >= n,
+          transform(sequence(lit(0), size(col("_tk")) - n),
+            j => md5(array_join(slice(col("_tk"), j + 1, lit(n)), " "))))
+          .otherwise(array())))
+      .toDF("_id", "_pos", "_wk")
+      .localCheckpoint(true)
+    val covered = winRows.join(broadcast(bKeys), "_wk")
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_cpos"))
+      .distinct()
+    val contaminatedIds = covered.select("_id").distinct()
+    val toks = base.join(contaminatedIds, Seq("_id"), "left_semi")
+      .select(col("_id"), posexplode(col("_tk")).as(Seq("_pos", "_tok")))
+    val kept = toks.join(covered,
+      toks("_id") === covered("_id") && col("_pos") === col("_cpos"),
+      "left_anti")
+    val rebuilt = contaminatedIds.join(
+        kept.groupBy("_id").agg(array_join(transform(
+          array_sort(collect_list(struct(col("_pos").as("p"),
+            col("_tok").as("t")))), x => x.getField("t")), " ")
+          .as("_clean0")), Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("_clean0"), lit("")).as("_clean"))
+    corpus.select(col(idCol), col(idCol).cast("long").as("_id"),
+        TextStats.normalize(col(textCol)).as("_norm"))
+      .join(rebuilt, Seq("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_clean"), col("_norm")).as("text_clean"))
+  }
+
   /** Deterministic content-stable sampling: keep rows whose
     * md5(key || salt) hex prefix sorts below `hexThreshold` — the keep
     * fraction is int(hexThreshold, 16) / 16^len(hexThreshold). Stable

@@ -60,13 +60,26 @@ object PdfDecode {
           var dataStart = bodyStart + streamAt + "stream".length
           if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
           if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-          val len = lengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+          // toLong, not toInt: a corrupt 11-digit /Length must fall
+          // through to the endstream scan, not throw at the parse
+          val len = lengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+          // trust a declared /Length only when the bytes right after
+          // dataStart + len (past one optional EOL) spell "endstream" —
+          // this both rejects over-declared lengths (which would
+          // swallow the trailing keywords + the next object) and
+          // ACCEPTS valid lengths whose binary payload happens to
+          // contain the byte sequence "endobj"/"endstream" (where the
+          // naive endObj/endstream scans land INSIDE the data)
+          def endstreamAt(at: Long): Boolean = {
+            if (at < 0 || at > s.length) return false
+            var i = at.toInt
+            if (i < s.length && s.charAt(i) == '\r') i += 1
+            if (i < s.length && s.charAt(i) == '\n') i += 1
+            s.startsWith("endstream", i)
+          }
           val dataEnd = len match {
-            // dataStart and endObj are both absolute offsets into s: an
-            // over-declared /Length must fall back to the endstream
-            // scan, not swallow the trailing keywords + following object
-            case Some(l) if l >= 0 && dataStart.toLong + l <= endObj =>
-              dataStart + l
+            case Some(l) if l >= 0 && endstreamAt(dataStart.toLong + l) =>
+              dataStart + l.toInt
             case _ =>
               val e = s.indexOf("endstream", dataStart)
               if (e < 0) dataStart else e

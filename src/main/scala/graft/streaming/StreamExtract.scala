@@ -132,18 +132,33 @@ object StreamExtract {
     * (paragraphs / sheet rows / stakeholders / chars), the cheap signal
     * a landing-zone monitor alerts on.
     *
+    * Input contract: a `binaryFile`-shaped frame with `path`, `content`
+    * and `length` columns (a hand-built (path, content) frame works
+    * too — `length` is derived from the content bytes when absent).
+    *
     * Files over `maxBytes` become error rows WITHOUT their content ever
     * being read: the length predicate is pushed into the binaryFile
     * source, which would otherwise throw on oversized files at the
     * scan (killing the query before safeDecode could contain anything —
-    * per-row totality cannot guard a source-level throw).
+    * per-row totality cannot guard a source-level throw). `maxBytes` is
+    * clamped to the source's own `spark.sql.sources.binaryFile
+    * .maxLength` limit for the same reason: a cap above that limit
+    * would re-expose the source-level throw it exists to prevent.
     */
-  def decodeStream(files: DataFrame,
+  def decodeStream(files0: DataFrame,
                    maxBytes: Long = 512L * 1024 * 1024): DataFrame = {
-    val s = files.sparkSession
+    val s = files0.sparkSession
     import s.implicits._
     import graft.sources.BinaryDispatch._
-    val decoded = files.filter(col("length") <= maxBytes)
+    val files =
+      if (files0.columns.contains("length")) files0
+      else files0.withColumn("length",
+        octet_length(col("content")).cast("long"))
+    val sourceMax = s.conf
+      .getOption("spark.sql.sources.binaryFile.maxLength")
+      .map(_.toLong).getOrElse(Int.MaxValue.toLong)
+    val cap = math.min(maxBytes, sourceMax)
+    val decoded = files.filter(col("length") <= cap)
       .select("path", "content").as[(String, Array[Byte])]
       .map { case (path, bytes) =>
         val r = safeDecode(bytes)
@@ -159,7 +174,7 @@ object StreamExtract {
         (path, r.format, r.status, nUnits)
       }
       .toDF("path", "format", "status", "n_units")
-    val oversized = files.filter(col("length") > maxBytes)
+    val oversized = files.filter(col("length") > cap)
       .select(col("path"), lit("oversize").as("format"),
         lit("error").as("status"), lit(0L).as("n_units"))
     decoded.unionByName(oversized)

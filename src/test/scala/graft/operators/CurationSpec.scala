@@ -36,6 +36,25 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("removeContaminatedSpans cuts only the benchmark windows") {
+    val s = spark
+    import s.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = docs(
+      1L -> s"intro words here $evalText and the body continues after it",
+      2L -> evalText, // fully covered -> empty
+      3L -> "a completely clean document with no overlap at all whatsoever")
+    val benchmark = Seq(Tuple1(evalText)).toDF("text")
+    val got = Curation.removeContaminatedSpans(corpus, benchmark,
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "intro words here and the body continues after it",
+      got(1L))
+    assert(got(2L) == "", got(2L))
+    assert(got(3L) ==
+      "a completely clean document with no overlap at all whatsoever")
+  }
+
   test("repetitionRatio measures duplicated bigram share") {
     val r = docs(
       1L -> "a a a",              // bigrams: (a a) x2 -> 1 - 1/2 = 0.5

@@ -129,6 +129,32 @@ class DecodeFuzzSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inflate past"), e.getMessage)
   }
 
+  test("/Length handling: over-declared falls back to the endstream " +
+    "scan, 11-digit does not throw, binary 'endobj' in payload is fine") {
+    def pdfOne(lengthDecl: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("%PDF-1.4\n1 0 obj << /Length " + lengthDecl +
+        " >>\nstream\n").getBytes("ISO-8859-1"))
+      out.write(payload)
+      out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    val payload = "BT (hello) Tj ET".getBytes("ISO-8859-1")
+    // over-declared: larger than the stream but smaller than the file
+    val over = PdfDecode.objects(pdfOne("999999", payload))
+    assert(over(1).stream.isDefined &&
+      new String(over(1).stream.get, "ISO-8859-1").contains("hello"))
+    // 11 digits: must not throw NumberFormatException at the parse
+    val huge = PdfDecode.objects(pdfOne("30000000000", payload))
+    assert(huge(1).stream.isDefined)
+    // exact length whose payload CONTAINS the byte sequence "endobj":
+    // the declared length must win over the embedded keyword
+    val tricky = "AAAendobjBBBendstreamCCC".getBytes("ISO-8859-1")
+    val exact = PdfDecode.objects(pdfOne(tricky.length.toString, tricky))
+    assert(exact(1).stream.exists(_.sameElements(tricky)),
+      exact(1).stream.map(b => new String(b, "ISO-8859-1")).toString)
+  }
+
   test("cyclic DIFAT chain terminates with an error, not a spin") {
     // hand-build a 1024-byte CFB whose header declares a DIFAT sector
     // at sector 0 pointing back to itself
