@@ -86,34 +86,28 @@ object Curation {
     val bKeys = benchmark
       .select(explode(Dedup.wordShingles(col(textCol), n)).as("_sh"))
       .select(md5(col("_sh")).as("_wk")).distinct()
-    val base = corpus.select(col(idCol).cast("long").as("_id"),
+    // no id cast: string/UUID ids (the web-corpus norm) must join as
+    // themselves — a silent cast-to-null would no-op the whole operator
+    val base = corpus.select(col(idCol).as("_id"),
       split(TextStats.normalize(col(textCol)), " ").as("_tk"))
-    // positional window keys (same md5-of-space-joined-window as the
-    // benchmark side); guarded sequence as in removeRepeatedWindows
-    val winRows = base.select(col("_id"),
-        posexplode(when(size(col("_tk")) >= n,
-          transform(sequence(lit(0), size(col("_tk")) - n),
-            j => md5(array_join(slice(col("_tk"), j + 1, lit(n)), " "))))
-          .otherwise(array())))
-      .toDF("_id", "_pos", "_wk")
-      .localCheckpoint(true)
-    val covered = winRows.join(broadcast(bKeys), "_wk")
+    // covered positions carry the checkpoint (NOT the corpus-sized
+    // window frame): its footprint is proportional to the CONTAMINATED
+    // windows only, and the lineage cut is what makes the toks join
+    // below an honest two-sided join rather than a self-join
+    val covered = Dedup.windowKeyRows(base, n)
+      .join(broadcast(bKeys), "_wk")
       .select(col("_id"),
         explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_cpos"))
       .distinct()
+      .localCheckpoint(true)
     val contaminatedIds = covered.select("_id").distinct()
     val toks = base.join(contaminatedIds, Seq("_id"), "left_semi")
       .select(col("_id"), posexplode(col("_tk")).as(Seq("_pos", "_tok")))
-    val kept = toks.join(covered,
-      toks("_id") === covered("_id") && col("_pos") === col("_cpos"),
-      "left_anti")
     val rebuilt = contaminatedIds.join(
-        kept.groupBy("_id").agg(array_join(transform(
-          array_sort(collect_list(struct(col("_pos").as("p"),
-            col("_tok").as("t")))), x => x.getField("t")), " ")
-          .as("_clean0")), Seq("_id"), "left")
-      .select(col("_id"), coalesce(col("_clean0"), lit("")).as("_clean"))
-    corpus.select(col(idCol), col(idCol).cast("long").as("_id"),
+        Dedup.rebuildWithoutCovered(toks, covered), Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("text_clean"), lit("")).as("_clean"))
+    corpus.select(col(idCol), col(idCol).as("_id"),
         TextStats.normalize(col(textCol)).as("_norm"))
       .join(rebuilt, Seq("_id"), "left")
       .select(col(idCol),

@@ -301,20 +301,45 @@ object Dedup {
     * own token count, the same bound as holding the row's text.
     * Output: (idCol, text_clean).
     */
-  def removeRepeatedWindows(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("_id"),
-      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
-    // window start positions exist only when the doc has >= n tokens
-    // (an unguarded sequence(0, size-n) would COUNT DOWN for short
-    // docs — Spark's sequence defaults to step -1 when start > stop)
-    val winRows = base.select(col("_id"),
+  /** Positional n-token window keys over a (_id, _tk) frame: one row
+    * per window start, `(_id, _pos, _wk = md5(space-joined window))`.
+    * Window start positions exist only when the doc has >= n tokens (an
+    * unguarded sequence(0, size-n) would COUNT DOWN for short docs —
+    * Spark's sequence defaults to step -1 when start > stop). Shared by
+    * [[removeRepeatedWindows]] and
+    * [[Curation.removeContaminatedSpans]] so the window-key recipe
+    * cannot drift between the two removal operators.
+    */
+  private[operators] def windowKeyRows(base: DataFrame, n: Int): DataFrame =
+    base.select(col("_id"),
         posexplode(when(size(col("_tk")) >= n,
           transform(sequence(lit(0), size(col("_tk")) - n),
             j => md5(array_join(slice(col("_tk"), j + 1, lit(n)), " "))))
           .otherwise(array())))
       .toDF("_id", "_pos", "_wk")
-      .localCheckpoint(true)
+
+  /** Token rows minus covered positions, reassembled to one
+    * `(_id, text_clean)` row per doc in token order — the shared
+    * rebuild half of the two removal operators. `toks` is
+    * (_id, _pos, _tok); `covered` is (_id, _cpos) and must not share
+    * live lineage with `toks` (callers checkpoint one side).
+    */
+  private[operators] def rebuildWithoutCovered(toks: DataFrame,
+                                               covered: DataFrame): DataFrame =
+    toks.join(covered,
+        toks("_id") === covered("_id") && col("_pos") === col("_cpos"),
+        "left_anti")
+      .groupBy("_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos").as("p"),
+          col("_tok").as("t")))), s => s.getField("t")), " ")
+        .as("text_clean"))
+
+  def removeRepeatedWindows(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
+    val winRows = windowKeyRows(base, n).localCheckpoint(true)
     val keys = winRows.select("_id", "_wk").distinct()
       .groupBy("_wk").agg(min("_id").as("_keeper"), count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2)
@@ -326,14 +351,7 @@ object Dedup {
       .distinct()
     val toks = base.select(col("_id"),
       posexplode(col("_tk")).as(Seq("_pos", "_tok")))
-    val kept = toks.join(covered,
-      toks("_id") === covered("_id") && col("_pos") === col("_cpos"),
-      "left_anti")
-    val rebuilt = kept.groupBy("_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_pos").as("p"),
-          col("_tok").as("t")))), s => s.getField("t")), " ")
-        .as("text_clean"))
+    val rebuilt = rebuildWithoutCovered(toks, covered)
     df.select(col(idCol), col(idCol).cast("long").as("_id"))
       .join(rebuilt, Seq("_id"), "left")
       .select(col(idCol),

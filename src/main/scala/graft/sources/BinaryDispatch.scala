@@ -80,7 +80,11 @@ object BinaryDispatch {
     * catching NonFatal here is sound: pathological inputs throw early
     * instead of exhausting task memory.
     */
-  def safeDecode(bytes: Array[Byte]): SafeDecoded =
+  def safeDecode(bytes: Array[Byte]): SafeDecoded = {
+    // null content (a corrupt upload row) must be an error row too —
+    // and it must be handled BEFORE the catch path, whose coarseSniff
+    // would itself NPE on null and escape the handler
+    if (bytes == null) return SafeDecoded("null", "error", "NullContent", None)
     try {
       val d = decode(bytes)
       val fmt = d match {
@@ -95,6 +99,7 @@ object BinaryDispatch {
         SafeDecoded(coarseSniff(bytes), "error",
           e.getClass.getSimpleName, None)
     }
+  }
 
   /** Decode any supported document (the reference's one-call entry). */
   def decode(bytes: Array[Byte]): Decoded = sniff(bytes) match {

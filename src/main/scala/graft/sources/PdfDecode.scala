@@ -60,9 +60,10 @@ object PdfDecode {
           var dataStart = bodyStart + streamAt + "stream".length
           if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
           if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-          // toLong, not toInt: a corrupt 11-digit /Length must fall
-          // through to the endstream scan, not throw at the parse
-          val len = lengthRe.findFirstMatchIn(dict).map(_.group(1).toLong)
+          // guarded parse: a corrupt /Length of ANY digit count (11 or
+          // 30) must fall through to the endstream scan, never throw
+          val len = lengthRe.findFirstMatchIn(dict)
+            .flatMap(_.group(1).toLongOption)
           // trust a declared /Length only when the bytes right after
           // dataStart + len (past one optional EOL) spell "endstream" —
           // this both rejects over-declared lengths (which would
@@ -73,8 +74,13 @@ object PdfDecode {
           def endstreamAt(at: Long): Boolean = {
             if (at < 0 || at > s.length) return false
             var i = at.toInt
-            if (i < s.length && s.charAt(i) == '\r') i += 1
-            if (i < s.length && s.charAt(i) == '\n') i += 1
+            // the spec says one EOL before the keyword, but real files
+            // use spaces/blank lines too — skip any whitespace run (a
+            // stricter gate would reject a VALID length and push the
+            // fallback scan into binary payload territory)
+            while (i < s.length && (s.charAt(i) == '\r' ||
+                s.charAt(i) == '\n' || s.charAt(i) == ' ' ||
+                s.charAt(i) == '\t')) i += 1
             s.startsWith("endstream", i)
           }
           val dataEnd = len match {

@@ -152,8 +152,11 @@ object StreamExtract {
     import graft.sources.BinaryDispatch._
     val files =
       if (files0.columns.contains("length")) files0
+      // null content -> length 0 (NOT null: a null length fails BOTH
+      // branch filters and the row would silently vanish); the row
+      // reaches safeDecode, which reports it as an error row
       else files0.withColumn("length",
-        octet_length(col("content")).cast("long"))
+        coalesce(octet_length(col("content")).cast("long"), lit(0L)))
     val sourceMax = s.conf
       .getOption("spark.sql.sources.binaryFile.maxLength")
       .map(_.toLong).getOrElse(Int.MaxValue.toLong)

@@ -53,6 +53,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == "", got(2L))
     assert(got(3L) ==
       "a completely clean document with no overlap at all whatsoever")
+    // STRING ids (the web-corpus norm) must work identically — a cast
+    // to long would null the join keys and silently no-op the operator
+    val sCorpus = Seq(
+      ("urn:doc:a", s"intro words here $evalText and the tail"),
+      ("urn:doc:b", "spotless text")).toDF("doc_id", "text")
+    val got2 = Curation.removeContaminatedSpans(sCorpus, benchmark,
+        "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2("urn:doc:a") == "intro words here and the tail", got2)
+    assert(got2("urn:doc:b") == "spotless text")
   }
 
   test("repetitionRatio measures duplicated bigram share") {

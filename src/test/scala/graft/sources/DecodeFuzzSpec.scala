@@ -147,12 +147,31 @@ class DecodeFuzzSpec extends AnyFunSuite {
     // 11 digits: must not throw NumberFormatException at the parse
     val huge = PdfDecode.objects(pdfOne("30000000000", payload))
     assert(huge(1).stream.isDefined)
+    // 20 digits (over Long.MaxValue): the guarded parse must fall back,
+    // not throw NumberFormatException
+    val huge20 = PdfDecode.objects(pdfOne("99999999999999999999", payload))
+    assert(huge20(1).stream.isDefined)
     // exact length whose payload CONTAINS the byte sequence "endobj":
     // the declared length must win over the embedded keyword
     val tricky = "AAAendobjBBBendstreamCCC".getBytes("ISO-8859-1")
     val exact = PdfDecode.objects(pdfOne(tricky.length.toString, tricky))
     assert(exact(1).stream.exists(_.sameElements(tricky)),
       exact(1).stream.map(b => new String(b, "ISO-8859-1")).toString)
+    // valid length with a SPACE (not EOL) before endstream: the
+    // whitespace-tolerant gate must still accept the declared length
+    val spaced = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(("%PDF-1.4\n1 0 obj << /Length " + tricky.length +
+        " >>\nstream\n").getBytes("ISO-8859-1"))
+      out.write(tricky)
+      out.write("  endstream\nendobj\n".getBytes("ISO-8859-1"))
+      out.toByteArray
+    }
+    assert(PdfDecode.objects(spaced)(1).stream
+      .exists(_.sameElements(tricky)))
+    // null content must come back as an error row, not an escaped NPE
+    val nullRow = BinaryDispatch.safeDecode(null)
+    assert(nullRow.status == "error" && nullRow.error == "NullContent")
   }
 
   test("cyclic DIFAT chain terminates with an error, not a spin") {
