@@ -337,7 +337,10 @@ object Dedup {
 
   def removeRepeatedWindows(df: DataFrame, textCol: String, idCol: String,
                             n: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("_id"),
+    // ids keep their own type (string/UUID ids would cast to null and
+    // blank every document); the keeper rule is min in the id's own
+    // ordering — numeric for longs, lexicographic for strings
+    val base = df.select(col(idCol).as("_id"),
       split(TextStats.normalize(col(textCol)), " ").as("_tk"))
     val winRows = windowKeyRows(base, n).localCheckpoint(true)
     val keys = winRows.select("_id", "_wk").distinct()
@@ -352,7 +355,7 @@ object Dedup {
     val toks = base.select(col("_id"),
       posexplode(col("_tk")).as(Seq("_pos", "_tok")))
     val rebuilt = rebuildWithoutCovered(toks, covered)
-    df.select(col(idCol), col(idCol).cast("long").as("_id"))
+    df.select(col(idCol), col(idCol).as("_id"))
       .join(rebuilt, Seq("_id"), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"))

@@ -35,6 +35,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == "tiny doc")
     // doc 5 is fully covered by shared windows: empty, row KEPT
     assert(out(5L) == "")
+    // string ids work identically (no silent cast-to-null): keeper is
+    // the lexicographic min id
+    val s = spark
+    import s.implicits._
+    val sd = Seq(("a1", "alpha beta gamma delta"),
+      ("b2", "alpha beta gamma delta tail words"))
+      .toDF("doc_id", "text")
+    val sOut = Dedup.removeRepeatedWindows(sd, "text", "doc_id", n = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sOut("a1") == "alpha beta gamma delta")
+    assert(sOut("b2") == "tail words", sOut)
   }
 
   test("exact dedup groups and representative selection") {
