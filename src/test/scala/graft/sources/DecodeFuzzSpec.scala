@@ -39,8 +39,8 @@ class DecodeFuzzSpec extends AnyFunSuite {
   }
 
   test("seeded bit-flip fuzz: safeDecode never throws") {
-    val rnd = new scala.util.Random(42)
-    for ((name, base) <- bases; trial <- 0 until 60) {
+    val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED","42").toLong)
+    for ((name, base) <- bases; trial <- 0 until sys.env.getOrElse("FUZZ_TRIALS","60").toInt) {
       val b = base.clone()
       val flips = 1 + rnd.nextInt(8)
       for (_ <- 0 until flips) {
@@ -52,8 +52,8 @@ class DecodeFuzzSpec extends AnyFunSuite {
   }
 
   test("random garbage decodes (text fallback) or errors, never throws") {
-    val rnd = new scala.util.Random(7)
-    for (trial <- 0 until 60) {
+    val rnd = new scala.util.Random(sys.env.getOrElse("FUZZ_SEED","7").toLong + 1)
+    for (trial <- 0 until sys.env.getOrElse("FUZZ_TRIALS","60").toInt) {
       val b = new Array[Byte](rnd.nextInt(4096))
       rnd.nextBytes(b)
       total(s"garbage#$trial", b)
