@@ -830,10 +830,10 @@ object SparkEntry {
         .map { case (path, bytes) =>
           val segs = path.split('/')
           val kind = segs(segs.length - 2) match {
-            case "graft_badpdf_corpus_v1" => "bad_pdf"
-            case "graft_badcfb_corpus_v1" => "bad_cfb"
-            case "graft_badzip_corpus_v1" => "bad_zip"
-            case "graft_garbage_corpus_v1" => "garbage"
+            case d if d.startsWith("graft_badpdf_corpus") => "bad_pdf"
+            case d if d.startsWith("graft_badcfb_corpus") => "bad_cfb"
+            case d if d.startsWith("graft_badzip_corpus") => "bad_zip"
+            case d if d.startsWith("graft_garbage_corpus") => "garbage"
             case _ => "clean"
           }
           val fileId =
@@ -2632,7 +2632,12 @@ object SparkEntry {
             + length(' Section ' || i || ' details')
             + length(' closing details for document ' || i)
             + length(' indented note ' || i)
-            + length(' final remark ' || i))::INT
+            + length(' final remark ' || i || chr(10) ||
+                '2. первый пункт ' || i || chr(10) ||
+                '3. второй пункт ' || i || chr(10) ||
+                '3.1. подпункт ' || i || chr(10) ||
+                '• маркер ' || i || chr(10) ||
+                ' wide indent note ' || i))::INT
          FROM range(20) t(i)
          UNION ALL
          SELECT 'xlsx', w::INT, 2::INT,
@@ -2682,7 +2687,13 @@ object SparkEntry {
                 'реорганизация', '2019-12-31' FROM f""",
 
     // q62: real Word97 binaries; every DOC-dialect paragraph carries
-    // the :179 unconditional leading space
+    // the :179 unconditional leading space. The r05 list tier is stated
+    // literally: the level-0 items read "2."/"3." (the reference's
+    // root-seeding off-by-one, DocumentParser.java:145-166), the
+    // level-1 item "3.1.", the bullet "•", and the final indented note
+    // stays in the body because the REAL page width (sprmSXaPage 20000)
+    // puts 4000 twips at 0.20 — a SEP decode regression would flip it
+    // to a header row and fail this oracle.
     "q62_doc_decode" ->
       """SELECT i::INT AS file_id, 0::INT AS doc_idx, 0::INT AS para_idx,
                 ' AGREEMENT ' || i || ' TITLE' AS header,
@@ -2696,7 +2707,12 @@ object SparkEntry {
          UNION ALL
          SELECT i::INT, 0::INT, 2::INT,
                 ' indented note ' || i,
-                ' final remark ' || i
+                ' final remark ' || i || chr(10) ||
+                '2. первый пункт ' || i || chr(10) ||
+                '3. второй пункт ' || i || chr(10) ||
+                '3.1. подпункт ' || i || chr(10) ||
+                '• маркер ' || i || chr(10) ||
+                ' wide indent note ' || i
          FROM range(20) t(i)""",
 
     // q60: one dated sheet per workbook, title row discovers the two

@@ -28,14 +28,31 @@ object Align {
   case object Right extends Align
 }
 
+/** One Word97 list level as the DOC numbering machine consumes it
+  * (DocumentParser.java:140-179 reads the same triple off POI's
+  * ListLevel: getStartAt / getNumberFormat / getNumberText).
+  *
+  * @param startAt level start value (LVLF iStartAt)
+  * @param nfc     number format code; 23 = bullet (:169-171)
+  * @param xst     number text with `(char)l` level placeholders (:174-178)
+  */
+final case class DocLevel(startAt: Int, nfc: Int, xst: String)
+
 /** List reference — the DOCX numbering triple the prefix machine needs
   * (DocumentParser.java:537-643).
   *
   * @param template  numLevelText, e.g. "%1.%2." (:571,:627-629)
   * @param startAt   level start value; 0 = unset (:560,:614-617,:645-662)
+  * @param docLevels non-empty on the REAL-DOC decode path only: the full
+  *                  per-level table (lsid -> LSTF levels) the reference's
+  *                  DOC branch walks (:140-179). When set, the prefix
+  *                  machine uses the DOC algorithm — which differs from
+  *                  getNumberPrefix (root pre-seeded with level-0 startAt,
+  *                  `(char)l` placeholders) — instead of the DOCX one.
   */
 final case class ListRef(listId: Int, ilvl: Int, numFmt: String,
-                         template: String, startAt: Int)
+                         template: String, startAt: Int,
+                         docLevels: Seq[DocLevel] = Nil)
 
 /** One paragraph-like element.
   *

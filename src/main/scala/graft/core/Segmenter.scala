@@ -648,6 +648,8 @@ object Segmenter {
       listNumbers: java.util.HashMap[Int, ListNumber]): String = {
     el.listRef match {
       case None => ""
+      case Some(ref) if ref.docLevels.nonEmpty =>
+        numberPrefixDoc(ref, listNumbers)
       case Some(ref) =>
         // root is created with the FIRST-SEEN ilvl as its level (:550 quirk)
         var root = listNumbers.get(ref.listId)
@@ -680,6 +682,59 @@ object Segmenter {
           }
         if (prefix.isEmpty) prefix else prefix + " " // :642
     }
+  }
+
+  /** List-number prefix, REAL-DOC branch ~ DocumentParser.java:140-179 —
+    * deliberately distinct from the DOCX [[numberPrefix]] algorithm:
+    *
+    *   - the root counter is pre-seeded with level-0's startAt at
+    *     creation (:145-149), so a startAt=1 list numbers its first
+    *     level-0 item "2" (increment lands on top of the seed, :163-166
+    *     — a faithful reference quirk the DOCX path does not share);
+    *   - intermediate levels created during the walk get their own
+    *     startAt, the target level starts at 0 (:151-160);
+    *   - the template is the LVLF xst with `(char)l` placeholders
+    *     (:174-178), not the "%1" form;
+    *   - the returned prefix always carries the trailing space: :179
+    *     concatenates `prefix + " " + text` unconditionally, and the
+    *     caller's empty-prefix DOC rule reduces to the same " " + text.
+    */
+  private def numberPrefixDoc(
+      ref: ListRef,
+      listNumbers: java.util.HashMap[Int, ListNumber]): String = {
+    val levels = ref.docLevels
+    val ilvl = math.min(math.max(ref.ilvl, 0), levels.length - 1)
+    val level = levels(ilvl)
+    var root = listNumbers.get(ref.listId)
+    if (root == null) { // :145-149
+      root = new ListNumber(0, levels.head.nfc.toString)
+      root.overrideNumber(levels.head.startAt)
+      listNumbers.put(ref.listId, root)
+    }
+    var current = root
+    for (l <- 1 to ilvl) { // :151-160
+      if (current.subNumber == null) {
+        current.subNumber = new ListNumber(l, levels(l).nfc.toString)
+        if (ilvl != l) current.subNumber.overrideNumber(levels(l).startAt)
+      }
+      current = current.subNumber
+    }
+    if (level.startAt > current.number) current.overrideNumber(level.startAt)
+    else current.incrementNumber() // :163-166
+    val prefix =
+      if (level.nfc == 23) "•" // :169-171
+      else { // placeholder substitution (:174-178)
+        var p = level.xst
+        var ln = root
+        var l = 0
+        while (l <= current.level && ln != null) {
+          p = p.replace(l.toChar.toString, ln.number.toString)
+          ln = ln.subNumber
+          l += 1
+        }
+        p
+      }
+    prefix + " " // :179
   }
 
   /** Post-pass 1 ~ checkDocumentStructure (DocumentParser.java:243-276):

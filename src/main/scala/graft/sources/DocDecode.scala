@@ -30,12 +30,28 @@ import scala.collection.mutable.ArrayBuffer
   * markup produces — so the entire A1 fold, gd golden suite, and
   * doc-type classification run unchanged on REAL .doc bytes.
   *
+  * Beyond the r04 surface this also decodes (r05):
+  *
+  *   - list numbering (PlfLst -> LSTF/LVLF/xst, PlfLfo -> ilfo->lsid,
+  *     sprmPIlfo 0x460B / sprmPIlvl 0x260A in PAPX) — the data behind
+  *     the reference's DOC list-prefix machine
+  *     (`DocumentParser.java:140-179`), surfaced as
+  *     [[graft.core.ListRef]] with `docLevels` set so the segmenter's
+  *     DOC-variant prefix algorithm (A3) fires on real bytes;
+  *   - section properties (PlcfSed -> Sepx -> sprmSXaPage 0xB01F):
+  *     page width for the 25%-indent header gate
+  *     (`DocumentParser.java:113,824-826`), default 12240 twips.
+  *
   * Documented deltas vs full HWPF: table cells (0x07 cell marks) are
   * treated as paragraph marks (flattened, like the nested-table note in
-  * [[OoxmlDecode]]); DOC list numbering (PlfLst/PlfLfo) and section
-  * properties are not decoded — listRef is never set and indentRatio
-  * uses the default 12240-twip page width. Both are attribute deltas on
-  * top of a real text/bold/justification decode, stated here.
+  * [[OoxmlDecode]]); LFO level overrides (LFOLVL) are not applied (the
+  * reference's POI path also resolves numbering through the base LSTF
+  * levels only, `DocumentParser.java:141-143`).
+  *
+  * All interval lookups (piece table, CHPX runs, PAPX paragraphs) are
+  * binary searches over the construction-sorted arrays — a heavily
+  * edited real Word97 file carries thousands of pieces/runs, and the
+  * r04 per-char linear `find` made one row's decode O(pieces x runs).
   */
 object DocDecode {
 
@@ -50,8 +66,24 @@ object DocDecode {
   private final case class FcProp[A](fcStart: Int, fcEnd: Int, value: A)
 
   private final case class ParaProps(jc: Int, dxaLeft: Int,
-                                     pageBreakBefore: Boolean)
-  private val DefaultPara = ParaProps(0, 0, pageBreakBefore = false)
+                                     pageBreakBefore: Boolean,
+                                     ilfo: Int, ilvl: Int)
+  private val DefaultPara = ParaProps(0, 0, pageBreakBefore = false, 0, 0)
+
+  /** Rightmost interval with fcStart <= fc that still contains fc, over
+    * an array sorted by fcStart (non-overlapping by construction in
+    * well-formed FKPs; on overlap the later interval wins, which any
+    * containing interval satisfies for totality).
+    */
+  private def findInterval[A](arr: Array[FcProp[A]], fc: Int): FcProp[A] = {
+    var lo = 0; var hi = arr.length - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid).fcStart <= fc) { res = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (res >= 0 && fc < arr(res).fcEnd) arr(res) else null
+  }
 
   /** Operand length of a Word sprm from its spra bits (MS-DOC 2.2.5.1);
     * spra 6 is variable (first operand byte is the size).
@@ -92,6 +124,14 @@ object DocDecode {
     val lcbPlcfBtePapx = i32(word, 0x106)
     val fcClx = i32(word, 0x1A2)
     val lcbClx = i32(word, 0x1A6)
+    val fcPlcfSed = i32(word, 0xCA)
+    val lcbPlcfSed = i32(word, 0xCE)
+    // FibRgFcLcb97 entries 73/74 sit past the r04 0x200 floor; a short
+    // (but valid-FIB) stream simply has no list tables
+    val fcPlfLst = if (word.length >= 0x2F2) i32(word, 0x2E2) else 0
+    val lcbPlfLst = if (word.length >= 0x2F2) i32(word, 0x2E6) else 0
+    val fcPlfLfo = if (word.length >= 0x2F2) i32(word, 0x2EA) else 0
+    val lcbPlfLfo = if (word.length >= 0x2F2) i32(word, 0x2EE) else 0
 
     // ---- piece table (Clx -> Pcdt -> PlcPcd) ----
     val pieces: Seq[Piece] = {
@@ -142,9 +182,21 @@ object DocDecode {
         sb.append(new String(word, p.fc, 2 * count, "UTF-16LE"))
     }
     val text = sb.substring(0, math.min(sb.length, ccpText))
+    // PlcPcd CPs are ascending by spec; sort defensively so the binary
+    // search stays total on corrupt inputs
+    val pieceArr: Array[Piece] = pieces.toArray.sortBy(_.cpStart)
+    def pieceOf(cp: Int): Piece = {
+      var lo = 0; var hi = pieceArr.length - 1; var res = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (pieceArr(mid).cpStart <= cp) { res = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      if (res >= 0 && cp < pieceArr(res).cpEnd) pieceArr(res)
+      else pieceArr(pieceArr.length - 1)
+    }
     def fcOfCp(cp: Int): Int = {
-      val p = pieces.find(p => cp >= p.cpStart && cp < p.cpEnd)
-        .getOrElse(pieces.last)
+      val p = pieceOf(cp)
       p.fc + (math.min(cp, p.cpEnd) - p.cpStart) * p.bytesPerChar
     }
 
@@ -159,8 +211,8 @@ object DocDecode {
     }
 
     // CHPX FKPs: rgfc + rgb offsets; rgb 0 = default properties
-    val boldRuns: Seq[FcProp[Option[Boolean]]] =
-      binTable(fcPlcfBteChpx, lcbPlcfBteChpx).flatMap { case (_, _, pn) =>
+    val boldRuns: Array[FcProp[Option[Boolean]]] =
+      binTable(fcPlcfBteChpx, lcbPlcfBteChpx).iterator.flatMap { case (_, _, pn) =>
         val page = pn * 512
         val crun = word(page + 511) & 0xFF
         (0 until crun).map { i =>
@@ -181,11 +233,11 @@ object DocDecode {
             }
           FcProp(fcS, fcE, bold)
         }
-      }
+      }.toArray.sortBy(_.fcStart)
 
     // PAPX FKPs: rgfc + 13-byte BX entries (first byte = papx/2)
-    val paraProps: Seq[FcProp[ParaProps]] =
-      binTable(fcPlcfBtePapx, lcbPlcfBtePapx).flatMap { case (_, _, pn) =>
+    val paraProps: Array[FcProp[ParaProps]] =
+      binTable(fcPlcfBtePapx, lcbPlcfBtePapx).iterator.flatMap { case (_, _, pn) =>
         val page = pn * 512
         val cpara = word(page + 511) & 0xFF
         (0 until cpara).map { i =>
@@ -211,6 +263,8 @@ object DocDecode {
                   case 0x840F => props = props.copy(dxaLeft = u16(g, at))
                   case 0x2407 =>
                     props = props.copy(pageBreakBefore = (g(at) & 0xFF) == 1)
+                  case 0x460B => props = props.copy(ilfo = u16(g, at))
+                  case 0x260A => props = props.copy(ilvl = g(at) & 0xFF)
                   case _ =>
                 }
               }
@@ -218,11 +272,95 @@ object DocDecode {
           }
           FcProp(fcS, fcE, props)
         }
-      }
+      }.toArray.sortBy(_.fcStart)
 
-    def lookup[A](props: Seq[FcProp[A]], fc: Int, default: A): A =
-      props.find(p => fc >= p.fcStart && fc < p.fcEnd)
-        .map(_.value).getOrElse(default)
+    def lookup[A](props: Array[FcProp[A]], fc: Int, default: A): A = {
+      val p = findInterval(props, fc)
+      if (p == null) default else p.value
+    }
+
+    // ---- section properties: PlcfSed -> Sepx -> sprmSXaPage ----
+    // (DocumentParser.java:113 — page width for the indent header gate)
+    val pageWidth: Int = {
+      var xaPage = 12240 // POI SectionProperties default
+      val nSed = (lcbPlcfSed - 4) / 16
+      if (nSed > 0 && fcPlcfSed >= 0 &&
+          fcPlcfSed.toLong + lcbPlcfSed <= table.length) {
+        val fcSepx = i32(table, fcPlcfSed + 4 * (nSed + 1) + 2)
+        if (fcSepx >= 0 && fcSepx.toLong + 2 <= word.length) {
+          val cb = u16(word, fcSepx)
+          if (fcSepx.toLong + 2 + cb <= word.length) {
+            scanSprms(java.util.Arrays.copyOfRange(word, fcSepx + 2,
+              fcSepx + 2 + cb)) { (sprm, g, at) =>
+              if (sprm == 0xB01F) xaPage = u16(g, at)
+            }
+          }
+        }
+      }
+      if (xaPage > 0) xaPage else 12240
+    }
+
+    // ---- list tables: PlfLst (lsid -> levels) + PlfLfo (ilfo -> lsid) ----
+    val listLevels: Map[Int, IndexedSeq[DocLevel]] = {
+      if (lcbPlfLst < 2 || fcPlfLst < 0 ||
+          fcPlfLst.toLong + lcbPlfLst > table.length) Map.empty
+      else {
+        val end = fcPlfLst + lcbPlfLst
+        val cLst = u16(table, fcPlfLst)
+        // LSTF array first (28 bytes each), LVL structures after it —
+        // every read is bounds-gated so a corrupt count throws (error
+        // row) instead of scanning off the table stream
+        require(fcPlfLst + 2 + 28L * cLst <= table.length,
+          s"PlfLst LSTF array ($cLst lists) out of range")
+        val lstfs = (0 until cLst).map { k =>
+          val at = fcPlfLst + 2 + 28 * k
+          (i32(table, at), (table(at + 26) & 0x01) != 0) // (lsid, fSimple)
+        }
+        var cur = fcPlfLst + 2 + 28 * cLst
+        val out = Map.newBuilder[Int, IndexedSeq[DocLevel]]
+        for ((lsid, fSimple) <- lstfs) {
+          val nLvl = if (fSimple) 1 else 9
+          val levels = (0 until nLvl).map { _ =>
+            require(cur + 28 <= end, "LVLF out of PlfLst range")
+            val iStartAt = i32(table, cur)
+            val nfc = table(cur + 4) & 0xFF
+            val cbChpx = table(cur + 24) & 0xFF
+            val cbPapx = table(cur + 25) & 0xFF
+            cur += 28 + cbPapx + cbChpx // LVLF, grpprlPapx, grpprlChpx
+            require(cur + 2 <= end, "LVL xst out of PlfLst range")
+            val cch = u16(table, cur)
+            require(cur + 2 + 2L * cch <= end, "LVL xst text out of range")
+            val xst = new String(table, cur + 2, 2 * cch, "UTF-16LE")
+            cur += 2 + 2 * cch
+            DocLevel(iStartAt, nfc, xst)
+          }
+          out += lsid -> levels
+        }
+        out.result()
+      }
+    }
+    val lfoLsids: IndexedSeq[Int] = {
+      if (lcbPlfLfo < 4 || fcPlfLfo < 0 ||
+          fcPlfLfo.toLong + lcbPlfLfo > table.length) IndexedSeq.empty
+      else {
+        val lfoMac = i32(table, fcPlfLfo)
+        if (lfoMac <= 0 || 4 + 16L * lfoMac > lcbPlfLfo) IndexedSeq.empty
+        else (0 until lfoMac).map(k => i32(table, fcPlfLfo + 4 + 16 * k))
+        // trailing LFOLVL overrides not applied (object scaladoc)
+      }
+    }
+    def listRefOf(props: ParaProps): Option[ListRef] =
+      if (props.ilfo <= 0 || props.ilfo > lfoLsids.length) None
+      else {
+        val lsid = lfoLsids(props.ilfo - 1)
+        listLevels.get(lsid).map { levels =>
+          val ilvl = math.min(math.max(props.ilvl, 0), levels.length - 1)
+          ListRef(lsid, ilvl,
+            if (levels(ilvl).nfc == 23) "bullet" else "decimal",
+            template = "", startAt = levels(ilvl).startAt,
+            docLevels = levels)
+        }
+      }
 
     // ---- paragraphs: text split at paragraph marks (0x0D; cell marks
     // 0x07 flattened — see the object scaladoc) ----
@@ -238,18 +376,20 @@ object DocDecode {
       var c = cpS
       while (c < cpEndIncl) {
         val fc = fcOfCp(c)
-        val run = boldRuns.find(r => fc >= r.fcStart && fc < r.fcEnd)
+        val run = findInterval(boldRuns, fc)
         // Long arithmetic: with no covering CHPX interval (real-world
         // docs can lack the bin table) the run end is unbounded and an
         // Int step would overflow past c
-        val runEndFc: Long = run.map(_.fcEnd.toLong).getOrElse(Long.MaxValue / 4)
-        val piece = pieces.find(p => c >= p.cpStart && c < p.cpEnd)
-          .getOrElse(pieces.last)
+        val runEndFc: Long =
+          if (run == null) Long.MaxValue / 4 else run.fcEnd.toLong
+        val piece = pieceOf(c)
         val step = math.max(1L, (runEndFc - fc) / piece.bytesPerChar)
-        val cpRunEnd = math.min(cpEndIncl.toLong,
-          math.min(piece.cpEnd.toLong, c + step)).toInt
+        // outer max: the fallback piece of a gapped (corrupt) piece
+        // table can have cpEnd <= c — force progress so the loop is total
+        val cpRunEnd = math.max(c + 1L, math.min(cpEndIncl.toLong,
+          math.min(piece.cpEnd.toLong, c + step))).toInt
         runs += Run(text.substring(c, cpRunEnd),
-          bold = run.flatMap(_.value))
+          bold = if (run == null) None else run.value)
         c = cpRunEnd
       }
       out += ParaElement(Element(
@@ -257,9 +397,10 @@ object DocDecode {
         runs = runs.toSeq,
         align = Align.Left,
         indentRatio =
-          if (props.dxaLeft > 0) props.dxaLeft / 12240f else 0f,
+          if (props.dxaLeft > 0) props.dxaLeft.toFloat / pageWidth else 0f,
         canBeHeader =
           if (props.pageBreakBefore) Some(CanBeHeader.Must) else None,
+        listRef = listRefOf(props),
         docDialect = true,
         justification = props.jc))
     }

@@ -18,10 +18,24 @@ import java.nio.{ByteBuffer, ByteOrder}
 object DocSynth {
 
   /** One paragraph: whole-paragraph bold (one CHPX run), justification
-    * (0 left / 1 center / 2 right), left indent in twips, page break.
+    * (0 left / 1 center / 2 right), left indent in twips, page break,
+    * and the Word97 list reference (ilfo = 1-based index into the
+    * `lists` passed to [[doc]], via sprmPIlfo/sprmPIlvl).
     */
   final case class DocP(text: String, bold: Boolean = false, jc: Int = 0,
-                        dxaLeft: Int = 0, pageBreakBefore: Boolean = false)
+                        dxaLeft: Int = 0, pageBreakBefore: Boolean = false,
+                        ilfo: Int = 0, ilvl: Int = 0)
+
+  /** One LVL of a synthesized list: startAt, number-format code
+    * (23 = bullet), and the xst number text whose `(char)l` chars are
+    * level-number placeholders — the POI `getNumberText()` convention
+    * the reference's DOC prefix machine substitutes
+    * (DocumentParser.java:174-178).
+    */
+  final case class Lvl(startAt: Int = 1, nfc: Int = 0, xst: String = "")
+
+  /** One list (LSTF + its 9 LVLs; missing levels default). */
+  final case class Lst(lsid: Int, levels: Seq[Lvl])
 
   private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
@@ -34,57 +48,94 @@ object DocSynth {
   private def pad(b: Array[Byte], to: Int): Array[Byte] =
     java.util.Arrays.copyOf(b, math.max(to, ((b.length + 511) / 512) * 512))
 
-  /** Build a .doc from paragraph specs. `unicode = true` stores the
-    * text piece as UTF-16LE (fCompressed = 0 — required for non-cp1252
+  /** Build a .doc from paragraph specs. `unicode = true` stores text
+    * pieces as UTF-16LE (fCompressed = 0 — required for non-cp1252
     * content); default is the compressed cp1252 piece Word writes for
-    * Latin text.
+    * Latin text. `pieceChars > 0` splits the text into ceil(len/n)
+    * pieces — alternating cp1252/UTF-16 encodings when `unicode` is
+    * false — modeling the fragmented piece tables heavily-edited real
+    * files carry. `lists` + DocP.ilfo/ilvl write real PlfLst/PlfLfo
+    * tables; `xaPage > 0` writes a section table (PlcfSed -> Sepx with
+    * sprmSXaPage) overriding the 12240-twip default page width.
     */
-  def doc(paras: Seq[DocP], unicode: Boolean = false): Array[Byte] = {
+  def doc(paras: Seq[DocP], unicode: Boolean = false,
+          lists: Seq[Lst] = Nil, xaPage: Int = 0,
+          pieceChars: Int = 0): Array[Byte] = {
     val textStr = paras.map(_.text).mkString("", "\r", "\r")
-    val bytesPerChar = if (unicode) 2 else 1
-    val textBytes =
-      if (unicode) textStr.getBytes("UTF-16LE")
-      else textStr.getBytes("windows-1252")
-    require(unicode || new String(textBytes, "windows-1252") == textStr,
-      "non-cp1252 text needs unicode = true (unmappable chars become '?')")
     val fcText = 1024
-    val fcTextEnd = fcText + textBytes.length
-    def fcOf(cp: Int): Int = fcText + cp * bytesPerChar
+
+    // ---- text pieces: (cpStart, chars, unicode, fc) ----
+    final case class SynthPiece(cpStart: Int, chars: String,
+                                wide: Boolean, fc: Int)
+    val pieces: Seq[SynthPiece] = {
+      val chunks: Seq[(Int, String)] =
+        if (pieceChars <= 0) Seq(0 -> textStr)
+        else (0 until textStr.length by pieceChars)
+          .map(s => s -> textStr.substring(s,
+            math.min(textStr.length, s + pieceChars)))
+      var fc = fcText
+      chunks.zipWithIndex.map { case ((cpS, chunk), k) =>
+        val wide = unicode || (pieceChars > 0 && k % 2 == 1)
+        if (!wide) require(new String(chunk.getBytes("windows-1252"),
+          "windows-1252") == chunk,
+          "non-cp1252 text needs unicode = true (unmappable chars become '?')")
+        val p = SynthPiece(cpS, chunk, wide, fc)
+        fc += chunk.length * (if (wide) 2 else 1)
+        p
+      }
+    }
+    val fcTextEnd =
+      pieces.last.fc + pieces.last.chars.length * (if (pieces.last.wide) 2 else 1)
+    def fcOf(cp: Int): Int = {
+      val p = pieces.reverseIterator.find(_.cpStart <= cp).get
+      p.fc + (cp - p.cpStart) * (if (p.wide) 2 else 1)
+    }
 
     // paragraph cp ranges incl. their marks
     val bounds = paras.foldLeft(Seq(0)) { (acc, p) =>
       acc :+ (acc.last + p.text.length + 1)
     }
 
-    // ---- CHPX FKP (one run per paragraph incl. its mark) ----
-    val chpxPage = new Array[Byte](512)
-    locally {
-      val crun = paras.size
-      require(crun <= 20, "synth FKP capacity")
-      for (i <- 0 to crun) putI32(chpxPage, 4 * i, fcOf(bounds(i)))
+    // ---- CHPX FKP pages (one run per paragraph incl. its mark),
+    // grouped so any paragraph count fits — multi-page documents get a
+    // real multi-entry bin table, like real files ----
+    val chpxGroups: Seq[Seq[Int]] =
+      paras.indices.grouped(16).map(_.toSeq).toSeq
+    val chpxPages: Seq[Array[Byte]] = chpxGroups.map { group =>
+      val page = new Array[Byte](512)
+      val crun = group.size
+      for ((pi, i) <- group.zipWithIndex)
+        putI32(page, 4 * i, fcOf(bounds(pi)))
+      putI32(page, 4 * crun, fcOf(bounds(group.last + 1)))
       var blobOff = 504
-      for (i <- 0 until crun) {
+      for ((pi, i) <- group.zipWithIndex) {
         val rgbAt = 4 * (crun + 1) + i
-        if (paras(i).bold) {
+        if (paras(pi).bold) {
           // CHPX: cb=3, sprmCFBold (0x0835) operand 1
-          chpxPage(blobOff) = 3
-          putU16(chpxPage, blobOff + 1, 0x0835)
-          chpxPage(blobOff + 3) = 1
-          chpxPage(rgbAt) = (blobOff / 2).toByte
+          page(blobOff) = 3
+          putU16(page, blobOff + 1, 0x0835)
+          page(blobOff + 3) = 1
+          page(rgbAt) = (blobOff / 2).toByte
           blobOff -= 6
-        } else chpxPage(rgbAt) = 0 // default properties
+        } else page(rgbAt) = 0 // default properties
+        require(blobOff > 4 * (crun + 1) + crun, "synth CHPX capacity")
       }
-      chpxPage(511) = crun.toByte
+      page(511) = crun.toByte
+      page
     }
 
-    // ---- PAPX FKP ----
-    val papxPage = new Array[Byte](512)
-    locally {
-      val cpara = paras.size
-      for (i <- 0 to cpara) putI32(papxPage, 4 * i, fcOf(bounds(i)))
+    // ---- PAPX FKP pages ----
+    val papxGroups: Seq[Seq[Int]] =
+      paras.indices.grouped(8).map(_.toSeq).toSeq
+    val papxPages: Seq[Array[Byte]] = papxGroups.map { group =>
+      val page = new Array[Byte](512)
+      val cpara = group.size
+      for ((pi, i) <- group.zipWithIndex)
+        putI32(page, 4 * i, fcOf(bounds(pi)))
+      putI32(page, 4 * cpara, fcOf(bounds(group.last + 1)))
       var blobOff = 480
-      for (i <- 0 until cpara) {
-        val p = paras(i)
+      for ((pi, i) <- group.zipWithIndex) {
+        val p = paras(pi)
         val grpprl = {
           val out = new java.io.ByteArrayOutputStream()
           if (p.jc != 0) { out.write(0x03); out.write(0x24); out.write(p.jc) }
@@ -94,6 +145,13 @@ object DocSynth {
           }
           if (p.pageBreakBefore) {
             out.write(0x07); out.write(0x24); out.write(0x01)
+          }
+          if (p.ilfo != 0) { // sprmPIlfo
+            out.write(0x0B); out.write(0x46)
+            out.write(p.ilfo & 0xFF); out.write((p.ilfo >> 8) & 0xFF)
+          }
+          if (p.ilvl != 0) { // sprmPIlvl
+            out.write(0x0A); out.write(0x26); out.write(p.ilvl)
           }
           out.toByteArray
         }
@@ -109,46 +167,131 @@ object DocSynth {
             Array[Byte](0, cb2.toByte, 0, 0) ++ grpprl
           }
         blobOff -= (blob.length + (blob.length % 2)) // keep even offsets
-        System.arraycopy(blob, 0, papxPage, blobOff, blob.length)
-        papxPage(bxAt) = (blobOff / 2).toByte
+        require(blobOff > 4 * (cpara + 1) + 13 * cpara, "synth PAPX capacity")
+        System.arraycopy(blob, 0, page, blobOff, blob.length)
+        page(bxAt) = (blobOff / 2).toByte
       }
-      papxPage(511) = cpara.toByte
+      page(511) = cpara.toByte
+      page
     }
 
-    // ---- WordDocument stream: FIB + text + the two FKP pages ----
-    val chpxPn = ((fcTextEnd + 511) / 512)
-    val papxPn = chpxPn + 1
-    val wordLen = math.max(4096, (papxPn + 1) * 512)
+    // ---- WordDocument stream: FIB + text pieces + FKP pages + Sepx ----
+    val chpxPn0 = ((fcTextEnd + 511) / 512)
+    val papxPn0 = chpxPn0 + chpxPages.size
+    val fcSepx = (papxPn0 + papxPages.size) * 512
+    val sepxGrpprl: Array[Byte] =
+      if (xaPage > 0) Array(0x1F.toByte, 0xB0.toByte, // sprmSXaPage
+        (xaPage & 0xFF).toByte, ((xaPage >> 8) & 0xFF).toByte)
+      else Array.emptyByteArray
+    val wordLen = math.max(4096,
+      fcSepx + (if (xaPage > 0) 2 + sepxGrpprl.length else 0))
     val word = new Array[Byte](wordLen)
     putU16(word, 0x00, 0xA5EC) // wIdent
     putU16(word, 0x02, 0x00C1) // nFib (Word 97)
     putU16(word, 0x0A, 0x0200) // fWhichTblStm -> 1Table
     putI32(word, 0x4C, textStr.length) // ccpText
-    System.arraycopy(textBytes, 0, word, fcText, textBytes.length)
-    System.arraycopy(chpxPage, 0, word, chpxPn * 512, 512)
-    System.arraycopy(papxPage, 0, word, papxPn * 512, 512)
+    for (p <- pieces) {
+      val enc = if (p.wide) "UTF-16LE" else "windows-1252"
+      val b = p.chars.getBytes(enc)
+      System.arraycopy(b, 0, word, p.fc, b.length)
+    }
+    for ((page, k) <- chpxPages.zipWithIndex)
+      System.arraycopy(page, 0, word, (chpxPn0 + k) * 512, 512)
+    for ((page, k) <- papxPages.zipWithIndex)
+      System.arraycopy(page, 0, word, (papxPn0 + k) * 512, 512)
+    if (xaPage > 0) {
+      putU16(word, fcSepx, sepxGrpprl.length) // Sepx cb
+      System.arraycopy(sepxGrpprl, 0, word, fcSepx + 2, sepxGrpprl.length)
+    }
 
-    // ---- 1Table stream: bin tables + Clx ----
-    val tbl = new Array[Byte](4096)
-    putI32(tbl, 0, fcText); putI32(tbl, 4, fcTextEnd)
-    putI32(tbl, 8, chpxPn) // PlcfBteChpx
-    putI32(tbl, 12, fcText); putI32(tbl, 16, fcTextEnd)
-    putI32(tbl, 20, papxPn) // PlcfBtePapx
-    val fcClx = 24
-    tbl(fcClx) = 0x02 // Pcdt
-    putI32(tbl, fcClx + 1, 16) // lcbPlcPcd: 2 CPs + 1 PCD
-    putI32(tbl, fcClx + 5, 0)
-    putI32(tbl, fcClx + 9, textStr.length)
-    // PCD: flags 0, fcField = fc (unicode) or (fc*2)|fCompressed, prm 0
-    putU16(tbl, fcClx + 13, 0)
-    putI32(tbl, fcClx + 15,
-      if (unicode) fcText else (fcText * 2) | 0x40000000)
-    putU16(tbl, fcClx + 19, 0)
+    // ---- 1Table stream: bin tables, PlcfSed, PlfLst, PlfLfo, Clx ----
+    val tblOut = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { tblOut.write(v & 0xFF); tblOut.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = {
+      tblOut.write(v & 0xFF); tblOut.write((v >> 8) & 0xFF)
+      tblOut.write((v >> 16) & 0xFF); tblOut.write((v >> 24) & 0xFF)
+    }
+    // CHPX bin table at 0, PAPX bin table right after — (n+1) FC
+    // boundaries then n FKP page numbers each
+    val fcBteChpx = 0
+    for (g <- chpxGroups) w32(fcOf(bounds(g.head)))
+    w32(fcTextEnd)
+    for (k <- chpxPages.indices) w32(chpxPn0 + k)
+    val lcbBteChpx = tblOut.size() - fcBteChpx
+    val fcBtePapx = tblOut.size()
+    for (g <- papxGroups) w32(fcOf(bounds(g.head)))
+    w32(fcTextEnd)
+    for (k <- papxPages.indices) w32(papxPn0 + k)
+    val lcbBtePapx = tblOut.size() - fcBtePapx
+    // PlcfSed (one Sed covering the whole text)
+    val fcPlcfSed = tblOut.size()
+    val lcbPlcfSed = if (xaPage > 0) {
+      w32(0); w32(textStr.length)              // CPs
+      w16(0); w32(fcSepx); w16(0); w32(0)      // Sed: fn, fcSepx, fnMpd, fcMpd
+      20
+    } else 0
+    // PlfLst: cLst LSTFs then, per list, 9 LVLs (cbGrpprl* = 0)
+    val fcPlfLst = tblOut.size()
+    val lcbPlfLst = if (lists.nonEmpty) {
+      val start = tblOut.size()
+      w16(lists.size)
+      for (l <- lists) {
+        w32(l.lsid); w32(0)
+        for (_ <- 0 until 9) w16(0x0FFF) // rgistdPara: no style
+        tblOut.write(0) // flags: fSimpleList = 0
+        tblOut.write(0) // grfhic
+      }
+      for (l <- lists; lvl <- 0 until 9) {
+        val v = l.levels.lift(lvl).getOrElse(Lvl())
+        w32(v.startAt)
+        tblOut.write(v.nfc)
+        tblOut.write(0)                    // jc/flags
+        for (_ <- 0 until 9) tblOut.write(0) // rgbxchNums
+        tblOut.write(0)                    // ixchFollow
+        w32(0); w32(0)                     // dxaIndentSav, unused
+        tblOut.write(0); tblOut.write(0)   // cbGrpprlChpx, cbGrpprlPapx
+        tblOut.write(0); tblOut.write(0)   // ilvlRestartLim, grfhic
+        val xst = v.xst.getBytes("UTF-16LE")
+        w16(v.xst.length)
+        tblOut.write(xst, 0, xst.length)
+      }
+      tblOut.size() - start
+    } else 0
+    // PlfLfo: ilfo k (1-based) -> lists(k-1).lsid, no LFOLVL overrides
+    val fcPlfLfo = tblOut.size()
+    val lcbPlfLfo = if (lists.nonEmpty) {
+      w32(lists.size)
+      for (l <- lists) {
+        w32(l.lsid); w32(0); w32(0)
+        tblOut.write(0)  // clfolvl
+        tblOut.write(0); tblOut.write(0); tblOut.write(0)
+      }
+      4 + 16 * lists.size
+    } else 0
+    // Clx -> Pcdt -> PlcPcd over all pieces
+    val fcClx = tblOut.size()
+    val n = pieces.size
+    val lcbPlcPcd = 4 * (n + 1) + 8 * n
+    tblOut.write(0x02) // Pcdt
+    w32(lcbPlcPcd)
+    for (p <- pieces) w32(p.cpStart)
+    w32(textStr.length)
+    for (p <- pieces) {
+      // PCD: flags 0, fcField = fc (wide) or (fc*2)|fCompressed, prm 0
+      w16(0)
+      w32(if (p.wide) p.fc else (p.fc * 2) | 0x40000000)
+      w16(0)
+    }
+    val lcbClx = tblOut.size() - fcClx
+    val tbl = pad(tblOut.toByteArray, 4096)
 
     // FIB pointers into the table stream
-    putI32(word, 0xFA, 0); putI32(word, 0xFE, 12)
-    putI32(word, 0x102, 12); putI32(word, 0x106, 12)
-    putI32(word, 0x1A2, fcClx); putI32(word, 0x1A6, 21)
+    putI32(word, 0xFA, fcBteChpx); putI32(word, 0xFE, lcbBteChpx)
+    putI32(word, 0x102, fcBtePapx); putI32(word, 0x106, lcbBtePapx)
+    putI32(word, 0x1A2, fcClx); putI32(word, 0x1A6, lcbClx)
+    putI32(word, 0xCA, fcPlcfSed); putI32(word, 0xCE, lcbPlcfSed)
+    putI32(word, 0x2E2, fcPlfLst); putI32(word, 0x2E6, lcbPlfLst)
+    putI32(word, 0x2EA, fcPlfLfo); putI32(word, 0x2EE, lcbPlfLfo)
 
     cfb(Seq("WordDocument" -> word, "1Table" -> tbl))
   }

@@ -51,19 +51,38 @@ object OoxmlCorpus {
   /** The q62 corpus document for id i: a real Word97 binary (.doc) —
     * bold all-caps title (header via the per-run bold/caps test of the
     * DOC predicate), plain body, jc=center header, body, indented
-    * header (dxaLeft 4000/12240 > 0.25), body. Expected segmentation
-    * (incl. the DocumentParser.java:179 unconditional leading space)
-    * pinned in DocDecodeSpec AND the q62 oracle SQL.
+    * header (dxaLeft 6000 / xaPage 20000 = 0.30 > 0.25), body, then the
+    * r05 real-bytes list tier: three numbered items (PlfLst/PlfLfo ->
+    * sprmPIlfo, incl. the reference's root-seeding off-by-one — the
+    * first level-0 item reads "2.", DocumentParser.java:145-166), a
+    * level-1 item ("3.1."), a bullet item (nfc 23 -> "•"), and a
+    * page-width discriminator (dxaLeft 4000: 0.20 under the REAL
+    * sprmSXaPage=20000, but 0.327 -> header under the default 12240 —
+    * a wrong SEP decode flips the segmentation and fails the oracle).
+    * Cyrillic list items route the whole corpus through UTF-16 pieces.
+    * Expected segmentation (incl. the DocumentParser.java:179
+    * unconditional leading space) pinned in DocDecodeSpec AND the q62
+    * oracle SQL.
     */
   def docBytes62(i: Int): Array[Byte] = {
-    import DocSynth.DocP
+    import DocSynth.{DocP, Lst, Lvl}
     DocSynth.doc(Seq(
       DocP(s"AGREEMENT $i TITLE", bold = true),
       DocP(s"agreement body text number $i lorem"),
       DocP(s"Section $i details", jc = 1),
       DocP(s"closing details for document $i"),
-      DocP(s"indented note $i", dxaLeft = 4000),
-      DocP(s"final remark $i")))
+      DocP(s"indented note $i", dxaLeft = 6000),
+      DocP(s"final remark $i"),
+      DocP(s"первый пункт $i", ilfo = 1),
+      DocP(s"второй пункт $i", ilfo = 1),
+      DocP(s"подпункт $i", ilfo = 1, ilvl = 1),
+      DocP(s"маркер $i", ilfo = 2),
+      DocP(s"wide indent note $i", dxaLeft = 4000)),
+      unicode = true,
+      lists = Seq(
+        Lst(100, Seq(Lvl(1, 0, "\u0000."), Lvl(1, 0, "\u0000.\u0001."))),
+        Lst(200, Seq(Lvl(1, 23, "")))),
+      xaPage = 20000)
   }
 
   private def ensure(dir: String, n: Int, ext: String,
@@ -87,7 +106,7 @@ object OoxmlCorpus {
     ensure("/tmp/graft_xlsx_corpus_v1", nXlsx, "xlsx", xlsxBytes)
 
   def ensureDoc62(): String =
-    ensure("/tmp/graft_doc_corpus_v1", nDoc62, "doc", docBytes62)
+    ensure("/tmp/graft_doc_corpus_v2", nDoc62, "doc", docBytes62)
 
   /** The q63 workbook for id w — the q60 content shape as a REAL BIFF8
     * .xls (Cyrillic titles exercise the UTF-16 SST path), so q63's
@@ -156,7 +175,7 @@ object OoxmlCorpus {
   def ensureCorruptPdf(): String =
     ensure("/tmp/graft_badpdf_corpus_v1", nCorrupt, "pdf", corruptPdfBytes)
   def ensureCorruptCfb(): String =
-    ensure("/tmp/graft_badcfb_corpus_v1", nCorrupt, "doc", corruptCfbBytes)
+    ensure("/tmp/graft_badcfb_corpus_v2", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =
     ensure("/tmp/graft_badzip_corpus_v1", nCorrupt, "docx", corruptZipBytes)
   def ensureGarbage(): String =

@@ -59,7 +59,8 @@ class DocDecodeSpec extends AnyFunSuite {
   }
 
   test("q62 document shape segments to the closed-form expectation " +
-    "(incl. the :179 unconditional leading-space quirk)") {
+    "(incl. the :179 unconditional leading-space quirk and the r05 " +
+    "list/SEP tier)") {
     val i = 5
     val md = DocDecode.decodeDoc(OoxmlCorpus.docBytes62(i))
     assert(md.documents.size == 1)
@@ -70,7 +71,54 @@ class DocDecodeSpec extends AnyFunSuite {
     assert(paras(1).header.text == s" Section $i details")
     assert(paras(1).body.text == s" closing details for document $i")
     assert(paras(2).header.text == s" indented note $i")
-    assert(paras(2).body.text == s" final remark $i")
+    // list items: the reference's DOC root-seeding off-by-one numbers
+    // the first level-0 item "2." (DocumentParser.java:145-166); the
+    // final dxaLeft=4000 note stays body only because the REAL page
+    // width (sprmSXaPage 20000) is decoded
+    assert(paras(2).body.text ==
+      s" final remark $i\n2. первый пункт $i\n3. второй пункт $i\n" +
+      s"3.1. подпункт $i\n• маркер $i\n wide indent note $i")
+  }
+
+  test("PlfLst/PlfLfo: listRef reaches the Element stream with the " +
+    "full level table") {
+    val els = DocDecode.docBodyElements(OoxmlCorpus.docBytes62(0))
+      .collect { case ParaElement(e) => e }
+    assert(els.size == 11)
+    val lr = els(6).listRef.get
+    assert(lr.listId == 100 && lr.ilvl == 0 && lr.numFmt == "decimal")
+    assert(lr.docLevels.head == DocLevel(1, 0, "\u0000."))
+    assert(lr.docLevels(1) == DocLevel(1, 0, "\u0000.\u0001."))
+    assert(els(8).listRef.get.ilvl == 1)
+    assert(els(9).listRef.get.numFmt == "bullet")
+    assert(els(10).listRef.isEmpty)
+    // SEP page width: dxaLeft=4000 over xaPage=20000
+    assert(math.abs(els(10).indentRatio - 0.2f) < 1e-6)
+  }
+
+  test("many-piece piece table: alternating cp1252/UTF-16 pieces " +
+    "decode to the same text, in linear-ish time") {
+    val paras = (0 until 15).map(k =>
+      DocP(s"paragraph $k body text with enough words to span pieces"))
+    val onePiece = DocSynth.doc(paras)
+    val manyPieces = DocSynth.doc(paras, pieceChars = 7)
+    val a = DocDecode.docBodyElements(onePiece)
+      .collect { case ParaElement(e) => e }
+    val b = DocDecode.docBodyElements(manyPieces)
+      .collect { case ParaElement(e) => e }
+    assert(a.map(_.text) == b.map(_.text))
+    // piece count really is large (ceil(len/7))
+    val totalChars = paras.map(_.text.length + 1).sum
+    assert(totalChars / 7 > 100)
+    // coarse nonlinearity probe: 16x the text through 4x the pieces
+    // must not cost ~16x^2; wall-clock is noisy on a shared box, so
+    // just assert it completes fast in absolute terms
+    val big = (0 until 120).map(k => DocP(s"linear probe para $k with " +
+      "a reasonably long body sentence to build volume quickly"))
+    val bigBytes = DocSynth.doc(big, pieceChars = 7)
+    val t0 = System.nanoTime()
+    DocDecode.docBodyElements(bigBytes)
+    assert((System.nanoTime() - t0) < 2e9, "many-piece decode too slow")
   }
 
   test("unicode piece: UTF-16 text pieces decode (the fCompressed=0 path)") {
