@@ -131,15 +131,22 @@ object Multimodal {
     var dataLen = -1
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = new String(bytes, off, 4, "US-ASCII")
-      val len = u32(off + 4).toInt
+      // untrusted u32 length: narrowed to Int it can go negative (e.g.
+      // 0xFFFFFFF8 advances the cursor by ZERO — a confirmed infinite
+      // loop on a 64-byte crafted file) and a hang bypasses the per-row
+      // error capture entirely. Validate in Long BEFORE advancing; the
+      // throw becomes an ordinary error row upstream.
+      val len = u32(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"WAV chunk '$id' length $len out of range")
       if (id == "fmt ") {
         require(u16(off + 8) == 1 && u16(off + 10) == 1 &&
           u16(off + 22) == 16, "only PCM16 mono supported")
         rate = u32(off + 12).toInt
       } else if (id == "data") {
-        dataOff = off + 8; dataLen = len
+        dataOff = off + 8; dataLen = len.toInt
       }
-      off += 8 + len + (len & 1)
+      off += (8 + len + (len & 1)).toInt
     }
     require(rate > 0 && dataOff >= 0, "missing fmt/data chunk")
     val n = dataLen / 2

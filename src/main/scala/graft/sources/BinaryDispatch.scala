@@ -101,7 +101,22 @@ object BinaryDispatch {
     }
   }
 
-  /** Decode any supported document (the reference's one-call entry). */
+  /** Thrown for a well-formed container whose contents match no
+    * supported document type (a .ppt CFB, a generic zip archive).
+    * Distinct class name so the safeDecode error column aggregates
+    * these separately from corrupt-container failures.
+    */
+  final class UnsupportedContainerException(family: String)
+    extends IllegalArgumentException(
+      s"$family container holds no supported document stream")
+
+  /** Decode any supported document (the reference's one-call entry).
+    * DecodedText is reserved for the coarse 'text' family: a
+    * recognized-but-unsupported CONTAINER (cfb without WordDocument/
+    * Workbook, zip without OOXML parts) throws instead of decoding raw
+    * container bytes as UTF-8 mojibake into the tokenizer path —
+    * safeDecode turns it into an `error` row attributed to the family.
+    */
   def decode(bytes: Array[Byte]): Decoded = sniff(bytes) match {
     case "pdf" =>
       val (pages, width) = PdfDecode.pagesWithWidth(bytes)
@@ -110,6 +125,7 @@ object BinaryDispatch {
     case "docx" => DecodedDoc("docx", OoxmlDecode.decodeDocx(bytes))
     case "xls" => DecodedSheets("xls", XlsDecode.decodeXls(bytes))
     case "xlsx" => DecodedSheets("xlsx", OoxmlDecode.decodeXlsx(bytes))
+    case f @ ("cfb" | "zip") => throw new UnsupportedContainerException(f)
     case f => DecodedText(f, new String(bytes, "UTF-8"))
   }
 }

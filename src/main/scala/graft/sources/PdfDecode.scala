@@ -134,6 +134,12 @@ object PdfDecode {
       } else stuck = inf.needsInput() || inf.needsDictionary()
     }
     inf.end()
+    // a stalled inflater (truncated / bit-rotted FlateDecode stream) is
+    // NOT success: returning the partial bytes would surface silently
+    // truncated page text with status 'ok'. Throw so safeDecode turns
+    // it into an attributed error row instead.
+    if (stuck) throw new IllegalArgumentException(
+      "truncated or corrupt FlateDecode stream (inflater stalled)")
     out.toByteArray
   }
 

@@ -74,6 +74,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wav chunk walk is total: a 0xFFFFFFF8 chunk length (zero-advance " +
+    "crafted file) errors instead of spinning, as do truncations/flips") {
+    // the crafted hang: len = -8 as Int made `off += 8 + len + (len&1)`
+    // advance by zero forever; must throw fast now
+    val crafted = new java.io.ByteArrayOutputStream()
+    crafted.write("RIFF".getBytes); crafted.write(Array[Byte](56, 0, 0, 0))
+    crafted.write("WAVE".getBytes)
+    crafted.write("junk".getBytes)
+    crafted.write(Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+    crafted.write(new Array[Byte](44)) // pad to 64 bytes
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(crafted.toByteArray)
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "guard must fire fast")
+    // odd-length 0xFFFFFFF7 variant (pad byte also zero-advances)
+    val crafted2 = crafted.toByteArray.clone()
+    crafted2(16) = 0xF7.toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(crafted2)
+    }
+    // truncation + seeded bit-flip sweeps: throw-or-return, never hang
+    val base = Multimodal.wavBytes(3L)
+    val stride = math.max(1, base.length / 61)
+    var len = 0
+    while (len <= base.length) {
+      try Multimodal.decodeWavPcm16(java.util.Arrays.copyOf(base, len))
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => }
+      len += stride
+    }
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("FUZZ_SEED", "42").toLong)
+    for (_ <- 0 until sys.env.getOrElse("FUZZ_TRIALS", "60").toInt) {
+      val b = base.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(8)) {
+        val at = rnd.nextInt(b.length)
+        b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try Multimodal.decodeWavPcm16(b)
+      catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => }
+    }
+  }
+
   test("extractFeaturesReal: real codecs per modality, error capture " +
     "on undecodable bytes") {
     import spark.implicits._

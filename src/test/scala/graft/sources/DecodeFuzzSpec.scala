@@ -174,6 +174,44 @@ class DecodeFuzzSpec extends AnyFunSuite {
     assert(nullRow.status == "error" && nullRow.error == "NullContent")
   }
 
+  test("stalled inflater (truncated FlateDecode stream) is an error " +
+    "row, not silently truncated 'ok' text") {
+    // take a real compressed corpus PDF and cut the flate stream short:
+    // the inflater stalls needing input — pre-fix this returned the
+    // partial bytes as success (silent data corruption)
+    val good = OoxmlCorpus.pdfBytes(2) // compressed variant
+    assert(BinaryDispatch.safeDecode(good).status == "ok")
+    val s = new String(good, "ISO-8859-1")
+    val streamAt = s.indexOf("stream\n") + "stream\n".length
+    val endAt = s.indexOf("endstream", streamAt)
+    assert(streamAt > 0 && endAt > streamAt)
+    // drop the tail half of the flate payload, splice the rest back
+    val keep = streamAt + (endAt - streamAt) / 2
+    val cut = new java.io.ByteArrayOutputStream()
+    cut.write(good, 0, keep)
+    cut.write(good, endAt, good.length - endAt)
+    val r = BinaryDispatch.safeDecode(cut.toByteArray)
+    assert(r.status == "error", r.toString)
+  }
+
+  test("unrecognized containers error out instead of decoding raw " +
+    "bytes as UTF-8 mojibake 'text'") {
+    // a valid CFB holding no WordDocument/Workbook stream (a .ppt-like)
+    val cfb = DocSynth.cfb(Seq("PowerPoint Document" -> new Array[Byte](4096)))
+    val rCfb = BinaryDispatch.safeDecode(cfb)
+    assert(rCfb.format == "cfb" && rCfb.status == "error" &&
+      rCfb.error == "UnsupportedContainerException", rCfb.toString)
+    // a valid zip holding no OOXML parts (a generic archive)
+    val zip = OoxmlSynth.zip(Seq("readme.txt" -> "hello"))
+    val rZip = BinaryDispatch.safeDecode(zip)
+    assert(rZip.format == "zip" && rZip.status == "error" &&
+      rZip.error == "UnsupportedContainerException", rZip.toString)
+    // the raw dispatch throws the typed exception
+    intercept[BinaryDispatch.UnsupportedContainerException] {
+      BinaryDispatch.decode(cfb)
+    }
+  }
+
   test("cyclic DIFAT chain terminates with an error, not a spin") {
     // hand-build a 1024-byte CFB whose header declares a DIFAT sector
     // at sector 0 pointing back to itself
