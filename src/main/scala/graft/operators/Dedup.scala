@@ -296,9 +296,14 @@ object Dedup {
     * The keeper/frequency aggregate has one row per key, so a
     * boilerplate key in millions of docs joins skew-splittably. Token
     * removal expands DROPPED windows only (the [[Winnow]] dup-only
-    * rule) into covered positions, anti-joins the token stream, and
-    * reassembles per doc — the per-doc collect is bounded by the doc's
-    * own token count, the same bound as holding the row's text.
+    * rule) into covered positions, and ONLY the documents owning a
+    * covered position pay the token explode + full-width rebuild (the
+    * toks stream is left-semi'd to affected ids, exactly the
+    * [[Curation.removeContaminatedSpans]] discipline) — every other
+    * document passes through as its normalized text, so the expensive
+    * half is proportional to the duplicated spans, not the corpus. The
+    * per-doc collect in the rebuild is bounded by the doc's own token
+    * count, the same bound as holding the row's text.
     * Output: (idCol, text_clean).
     */
   /** Positional n-token window keys over a (_id, _tk) frame: one row
@@ -347,18 +352,30 @@ object Dedup {
       .groupBy("_wk").agg(min("_id").as("_keeper"), count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2)
       .select("_wk", "_keeper")
+    // covered positions are proportional to DUPLICATED spans, not the
+    // corpus — they carry the checkpoint, and only docs that appear
+    // here pay the token-explode + full-width rebuild below (the
+    // [[Curation.removeContaminatedSpans]] discipline: at corpus scale
+    // the overwhelmingly common doc has no repeated window and passes
+    // through as its normalized text)
     val covered = winRows.join(keys, "_wk")
       .filter(col("_id") =!= col("_keeper"))
       .select(col("_id"), explode(sequence(col("_pos"),
         col("_pos") + (n - 1))).as("_cpos"))
       .distinct()
-    val toks = base.select(col("_id"),
-      posexplode(col("_tk")).as(Seq("_pos", "_tok")))
-    val rebuilt = rebuildWithoutCovered(toks, covered)
-    df.select(col(idCol), col(idCol).as("_id"))
+      .localCheckpoint(true)
+    val affectedIds = covered.select("_id").distinct()
+    val toks = base.join(affectedIds, Seq("_id"), "left_semi")
+      .select(col("_id"), posexplode(col("_tk")).as(Seq("_pos", "_tok")))
+    val rebuilt = affectedIds.join(
+        rebuildWithoutCovered(toks, covered), Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("text_clean"), lit("")).as("_clean"))
+    df.select(col(idCol), col(idCol).as("_id"),
+        TextStats.normalize(col(textCol)).as("_norm"))
       .join(rebuilt, Seq("_id"), "left")
       .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        coalesce(col("_clean"), col("_norm")).as("text_clean"))
   }
 
   // ---------- shingles / jaccard ----------

@@ -48,6 +48,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(sOut("b2") == "tail words", sOut)
   }
 
+  test("removal contract: text_clean is NORMALIZED text for every row " +
+    "(clean pass-through and rebuilt docs alike)") {
+    // normalization (lowercase, collapsed whitespace) is part of the
+    // operator contract — stated in the scaladoc, pinned here: a clean
+    // doc comes back as TextStats.normalize(text), not original-cased
+    val d = docs(
+      1L -> "Mixed CASE   And    Spacing Here",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta COMMON",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta DIFFERENT")
+    val out = Dedup.removeRepeatedWindows(d, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mixed case and spacing here")
+    assert(out(2L) == "alpha beta gamma delta epsilon zeta eta theta common")
+    assert(out(3L) == "different")
+  }
+
   test("exact dedup groups and representative selection") {
     val d = docs(
       1L -> "Hello   World", 2L -> "hello world", 3L -> "unique text here",

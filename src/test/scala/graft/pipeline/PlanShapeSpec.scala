@@ -124,6 +124,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("removeRepeatedWindows rebuilds AFFECTED docs only: the token " +
+    "explode sits behind a left-semi, clean docs never explode") {
+    import spark.implicits._
+    val d = (0 until 30).map(i =>
+      (i.toLong, if (i < 3) "shared dup window one two three four five " +
+        s"six seven eight tail $i"
+      else s"clean document number $i with its own unique words here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeRepeatedWindows(d, "text", "doc_id", n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the rebuild gate: token explode only for ids with covered positions
+    assert(plan.contains("LeftSemi"), plan)
+    // the window-key frame and covered positions are checkpointed away
+    // (Scan ExistingRDD), so the ONLY Generate left in the consuming
+    // plan is the toks posexplode — and it is under the semi join. A
+    // second Generate would mean a full-corpus explode crept back in.
+    assert("Generate".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("q72 curation pipeline: verdict + sample join sides broadcast, " +
     "no cartesian") {
     val plan = graft.SparkEntry.queries("q72_curation_pipeline")(spark, sf)
