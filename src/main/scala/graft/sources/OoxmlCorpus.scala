@@ -124,15 +124,22 @@ object OoxmlCorpus {
 
   val nPdf = 10
 
-  /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]);
-    * even ids are FlateDecode-compressed, odd ids uncompressed — both
-    * forms must decode to the same 9 stakeholders.
+  /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
+    * cycling the four real-world convention variants — all must decode
+    * to the same 9 stakeholders (one oracle over the union):
+    * w%4==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
+    * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
+    * decoder recovers the geometry); 3 hex-string `<...>` operands.
     */
-  def pdfBytes(w: Int): Array[Byte] =
-    PdfSynth.stakeholderPdf(w, compress = w % 2 == 0)
+  def pdfBytes(w: Int): Array[Byte] = w % 4 match {
+    case 0 => PdfSynth.stakeholderPdf(w, compress = true)
+    case 1 => PdfSynth.stakeholderPdf(w)
+    case 2 => PdfSynth.stakeholderPdf(w, compress = true, scale = 2f)
+    case _ => PdfSynth.stakeholderPdf(w, hexStrings = true)
+  }
 
   def ensurePdf(): String =
-    ensure("/tmp/graft_pdf_corpus_v1", nPdf, "pdf", pdfBytes)
+    ensure("/tmp/graft_pdf_corpus_v2", nPdf, "pdf", pdfBytes)
 
   // ---------- q69: deterministic corrupt corpora ----------
   //
@@ -173,7 +180,7 @@ object OoxmlCorpus {
       (32 + ((i * 31 + j * 7) % 90)).toByte)
 
   def ensureCorruptPdf(): String =
-    ensure("/tmp/graft_badpdf_corpus_v1", nCorrupt, "pdf", corruptPdfBytes)
+    ensure("/tmp/graft_badpdf_corpus_v2", nCorrupt, "pdf", corruptPdfBytes)
   def ensureCorruptCfb(): String =
     ensure("/tmp/graft_badcfb_corpus_v2", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =

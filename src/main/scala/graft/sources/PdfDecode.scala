@@ -23,13 +23,20 @@ import scala.collection.mutable.ArrayBuffer
   *     clipped paths dropped — exactly the reference's FILL-path
   *     harvest, `LineCatcher.java:100-135`).
   *
+  * The interpreter carries the graphics state a real-world page needs
+  * first (r05): hex `<...>` string operands, the current transformation
+  * matrix (`cm` concatenation with `q`/`Q` save/restore — glyph and
+  * fill-path coordinates are CTM-transformed like PDFBox's
+  * `PdfParser.java:212-216` positions), and `<<`/`>>` dict tokens.
+  *
   * Documented deltas vs PDFBox: glyph advance uses a fixed
   * 0.5 * fontSize per char (no font metrics / ToUnicode CMaps — string
-  * bytes are decoded as UTF-8); `cm` transforms, rotated pages, and
-  * non-Flate filters are not implemented. The synthesized q64 corpus
-  * ([[PdfSynth]]) writes the same conventions, so the decode oracle is
-  * exact; a real-world PDF feeds the same pipeline with approximate
-  * advances.
+  * bytes are decoded as UTF-8); rotated pages (a rotating CTM turns
+  * rect fills into bounding boxes) and non-Flate filters are not
+  * implemented. The synthesized q64 corpus ([[PdfSynth]]) writes all
+  * four convention variants (plain, Flate, cm-scaled, hex-string), so
+  * the decode oracle covers them; a real-world PDF feeds the same
+  * pipeline with approximate advances.
   */
 object PdfDecode {
 
@@ -239,6 +246,26 @@ object PdfDecode {
           TStr(out.toByteArray)
         case '[' => TArrStart
         case ']' => TArrEnd
+        case '<' if i + 1 < data.length && data(i + 1) == '<' =>
+          i += 1 // dict start — an operator-shaped token the stack drops
+          TOp("<<")
+        case '>' if i + 1 < data.length && data(i + 1) == '>' =>
+          i += 1
+          TOp(">>")
+        case '<' => // hex string <4E42...>; odd digit count pads low 0
+          val out = new java.io.ByteArrayOutputStream()
+          i += 1
+          var hi = -1
+          while (i < data.length && data(i) != '>') {
+            val v = Character.digit(data(i).toChar, 16)
+            if (v >= 0) {
+              if (hi < 0) hi = v
+              else { out.write(hi * 16 + v); hi = -1 }
+            }
+            i += 1
+          }
+          if (hi >= 0) out.write(hi * 16)
+          TStr(out.toByteArray)
         case '/' =>
           val start = i + 1
           i += 1
@@ -273,6 +300,14 @@ object PdfDecode {
     var lineX, lineY, curX, curY = 0f
     var fontSize = 12f
     var leading = 0f
+    // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4),
+    // identity by default; `cm` concatenates, q/Q save/restore. Device
+    // coords = text-space coords through the CTM — the PDFBox position
+    // convention (PdfParser.java:212-216) the geometry kernel expects.
+    var ctm = Array(1f, 0f, 0f, 1f, 0f, 0f)
+    val gsStack = new ArrayBuffer[Array[Float]]
+    def txX(x: Float, y: Float): Float = ctm(0) * x + ctm(2) * y + ctm(4)
+    def txY(x: Float, y: Float): Float = ctm(1) * x + ctm(3) * y + ctm(5)
     def num(idx: Int): Float = stack(stack.length - idx) match {
       case TNum(v) => v
       case _ => 0f
@@ -280,7 +315,7 @@ object PdfDecode {
     def show(bytes: Array[Byte]): Unit = {
       val s = new String(bytes, "UTF-8")
       for (ch <- s) {
-        glyphs += Glyph(curX, curY, ch.toString)
+        glyphs += Glyph(txX(curX, curY), txY(curX, curY), ch.toString)
         curX += fontSize * 0.5f
       }
     }
@@ -311,8 +346,27 @@ object PdfDecode {
               case TNum(adj) => curX -= adj / 1000f * fontSize
               case _ =>
             }
+          case "cm" => // CTM' = M x CTM (left-concatenation, §8.3.4)
+            val a = num(6); val b = num(5); val c = num(4)
+            val d = num(3); val e = num(2); val f = num(1)
+            ctm = Array(
+              a * ctm(0) + b * ctm(2), a * ctm(1) + b * ctm(3),
+              c * ctm(0) + d * ctm(2), c * ctm(1) + d * ctm(3),
+              e * ctm(0) + f * ctm(2) + ctm(4),
+              e * ctm(1) + f * ctm(3) + ctm(5))
+          case "q" => gsStack += ctm.clone()
+          case "Q" =>
+            if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
           case "re" =>
-            pending += Rect(num(4), num(3), num(2), num(1))
+            // transform all four corners and take the bounding box —
+            // exact for the scale/translate CTMs real tables use, a
+            // conservative box under rotation
+            val x = num(4); val y = num(3); val w = num(2); val h = num(1)
+            val xs = Array(txX(x, y), txX(x + w, y), txX(x, y + h),
+              txX(x + w, y + h))
+            val ys = Array(txY(x, y), txY(x + w, y), txY(x, y + h),
+              txY(x + w, y + h))
+            pending += Rect(xs.min, ys.min, xs.max - xs.min, ys.max - ys.min)
           case "f" | "F" | "f*" | "b" | "B" | "b*" | "B*" =>
             rects ++= pending; pending.clear() // fill-path harvest
           case "S" | "s" | "n" => pending.clear() // stroke/no-op: dropped

@@ -13,19 +13,37 @@ import java.io.ByteArrayOutputStream
   */
 object PdfSynth {
 
-  /** One page's content ops. */
-  final class Content {
+  /** One page's content ops. `scale != 1` divides every coordinate and
+    * font size by the factor and wraps the stream in
+    * `q scale 0 0 scale 0 0 cm ... Q` — the DEVICE geometry is
+    * identical, but only a decoder that folds the CTM recovers it
+    * (the r05 real-world convention gate). `hexStrings` emits text
+    * operands as hex `<...>` strings instead of literal `(...)`.
+    */
+  final class Content(scale: Float = 1f, hexStrings: Boolean = false) {
     private val sb = new StringBuilder
+    private def fmt(v: Float): String = f"${v / scale}%.1f"
     def text(x: Float, y: Float, size: Float, s: String): Content = {
-      val esc = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-      sb ++= f"BT /F1 $size%.1f Tf $x%.1f $y%.1f Td ($esc) Tj ET\n"
+      val op =
+        if (hexStrings)
+          "<" + s.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X").mkString + ">"
+        else
+          "(" + s.replace("\\", "\\\\").replace("(", "\\(")
+            .replace(")", "\\)") + ")"
+      sb ++= s"BT /F1 ${fmt(size)} Tf ${fmt(x)} ${fmt(y)} Td $op Tj ET\n"
       this
     }
     def fillRect(x: Float, y: Float, w: Float, h: Float): Content = {
-      sb ++= f"$x%.1f $y%.1f $w%.1f $h%.1f re f\n"
+      sb ++= s"${fmt(x)} ${fmt(y)} ${fmt(w)} ${fmt(h)} re f\n"
       this
     }
-    def bytes: Array[Byte] = sb.toString.getBytes("UTF-8")
+    def bytes: Array[Byte] = {
+      val body = sb.toString
+      val wrapped =
+        if (scale == 1f) body
+        else f"q $scale%.1f 0 0 $scale%.1f 0 0 cm\n" + body + "Q\n"
+      wrapped.getBytes("UTF-8")
+    }
   }
 
   /** Assemble a PDF from per-page content (MediaBox 0 0 612 792).
@@ -119,8 +137,11 @@ object PdfSynth {
     * end-of-pages flush. 9 stakeholders total — pinned in PdfDecodeSpec
     * and the q64 oracle.
     */
-  def stakeholderPdf(i: Int, compress: Boolean = false): Array[Byte] = {
-    val p1 = new Content
+  def stakeholderPdf(i: Int, compress: Boolean = false,
+                     scale: Float = 1f,
+                     hexStrings: Boolean = false): Array[Byte] = {
+    def content = new Content(scale, hexStrings)
+    val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
     grid(p1)
     row(p1, 0, Seq("Полное фирменное наименование", "Основание",
@@ -132,7 +153,7 @@ object PdfSynth {
         "01.02.2020 03.04.2021", s"25,$r"))
     row(p1, 5, Seq(s"ООО Гамма $i", "1.создание", "01.02.2020", "10"))
 
-    val p2 = new Content
+    val p2 = content
     grid(p2)
     row(p2, 0, Seq("", " 2.продажа акций", " 03.04.2021", ""))
     for (r <- 0 until 4)
@@ -140,7 +161,7 @@ object PdfSynth {
         "05.06.2021", s"${3 + r},5"))
     row(p2, 5, Seq(s"ПАО Омега $i", "реорганизация", "31.12.2019", "100"))
 
-    val p3 = new Content
+    val p3 = content
     p3.text(30f, 750f, 10f,
       "Изменения, произошедшие в списке аффилированных лиц")
 

@@ -44,6 +44,37 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(PdfDecode.pageWidth(plain) == 612f)
   }
 
+  test("cm-scaled and hex-string variants decode IDENTICALLY to the " +
+    "plain convention (the r05 real-world convention gate)") {
+    val plain = PdfDecode.pages(PdfSynth.stakeholderPdf(7))
+    val scaled = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(7, compress = true, scale = 2f))
+    val hexed = PdfDecode.pages(PdfSynth.stakeholderPdf(7, hexStrings = true))
+    assert(scaled == plain,
+      "CTM-folded geometry must equal the untransformed decode")
+    assert(hexed == plain,
+      "hex string operands must equal literal-string decode")
+    // q/Q restore: a transform inside q..Q must not leak past the Q
+    val p = PdfDecode.interpret(
+      ("q 2 0 0 2 0 0 cm BT /F1 5 Tf 50 100 Td (A) Tj ET Q\n" +
+        "BT /F1 10 Tf 100 200 Td (B) Tj ET\n" +
+        "q 1 0 0 1 30 40 cm 10 20 5 5 re f Q\n").getBytes("UTF-8"))
+    val gs = p.lines.flatMap(_.glyphs)
+    assert(gs.exists(g => g.text == "A" && g.x == 100f && g.y == 200f))
+    assert(gs.exists(g => g.text == "B" && g.x == 100f && g.y == 200f))
+    assert(p.rects == Seq(PdfTable.Rect(40f, 60f, 5f, 5f)))
+    // hex parsing details: whitespace inside is skipped; an odd digit
+    // count pads the final low nibble with 0 (PDF 32000 §7.3.4.3)
+    val hp = PdfDecode.interpret(
+      "BT /F1 10 Tf 0 0 Td <41 4 2> Tj ET".getBytes("UTF-8"))
+    assert(hp.lines.head.glyphs.map(_.text).mkString == "AB",
+      hp.lines.head.glyphs) // "41 4 2" -> 0x41 'A', 0x42 'B'
+    val odd = PdfDecode.interpret(
+      "BT /F1 10 Tf 0 0 Td <414> Tj ET".getBytes("UTF-8"))
+    assert(odd.lines.head.glyphs.map(_.text).mkString == "A@",
+      odd.lines.head.glyphs) // "414" -> 0x41 'A', 0x40 '@'
+  }
+
   test("q64 stakeholder filing decodes to the closed-form 9 rows " +
     "(titles, skip-row quirk, cross-page stitch, end-page stop)") {
     val i = 4
