@@ -110,17 +110,26 @@ object OoxmlCorpus {
 
   /** The q63 workbook for id w — the q60 content shape as a REAL BIFF8
     * .xls (Cyrillic titles exercise the UTF-16 SST path), so q63's
-    * oracle is q60's closed form.
+    * oracle is q60's closed form. The r05 numeric tail rows ride as
+    * RK/MulRk records (the compressed numeric forms real-world writers
+    * emit): they land in the sheet model as NUMERIC cells, which the
+    * STRING-only beneficiary scan (F9) must skip — a type-confusion
+    * regression would add rows and fail the oracle.
     */
-  def xlsBytes(w: Int): Array[Byte] =
-    XlsSynth.xls(Seq(
+  def xlsBytes(w: Int): Array[Byte] = {
+    import XlsSynth.{SCell, RkCell}
+    XlsSynth.xlsTyped(Seq(
       s"Выписка 15.03.${2020 + w}" -> Seq(
-        Seq("Наименование", "Наименование компании и ФИО владельца"),
-        Seq(s"ООО Фирма $w-1", s"Иванов И.$w"),
-        Seq(s"АО Завод $w-2", s"Петров П.$w"))))
+        Seq(SCell("Наименование"),
+          SCell("Наименование компании и ФИО владельца")),
+        Seq(SCell(s"ООО Фирма $w-1"), SCell(s"Иванов И.$w")),
+        Seq(SCell(s"АО Завод $w-2"), SCell(s"Петров П.$w")),
+        Seq(RkCell(123.45), RkCell(-7.0), RkCell(0.07)), // one MulRk
+        Seq(RkCell(2.5)))))                              // one RK
+  }
 
   def ensureXls(): String =
-    ensure("/tmp/graft_xls_corpus_v1", nXlsx, "xls", xlsBytes)
+    ensure("/tmp/graft_xls_corpus_v2", nXlsx, "xls", xlsBytes)
 
   val nPdf = 10
 

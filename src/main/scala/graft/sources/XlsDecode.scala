@@ -14,8 +14,11 @@ import scala.collection.mutable.ArrayBuffer
   *     8-bit and UTF-16 forms, rich/ext headers skipped per spec) and
   *     BoundSheet8 (sheet names + substream positions);
   *   - per-sheet substreams: LabelSst (STRING cells), Number (NUMERIC),
-  *     BoolErr (BOOLEAN/ERROR), Blank — mapped to the same POI
-  *     CellType names [[graft.core.SheetTable]] consumes (E1/E2/X2).
+  *     RK and MulRk (the compressed NUMERIC forms most real-world BIFF8
+  *     writers emit — 30-bit int, int-x0.01, and truncated-double
+  *     encodings, MS-XLS 2.5.276), BoolErr (BOOLEAN/ERROR), Blank —
+  *     mapped to the same POI CellType names [[graft.core.SheetTable]]
+  *     consumes (E1/E2/X2).
   *
   * Documented deltas vs full HSSF: formula results, continued SST
   * records (strings split across Continue records) and number
@@ -34,6 +37,17 @@ object XlsDecode {
     ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
 
   private final case class Rec(sid: Int, off: Int, len: Int)
+
+  /** RK number decode (MS-XLS 2.5.276): bit 0 = fDiv100, bit 1 = fInt;
+    * the remaining 30 bits are a signed int (fInt) or the high 30 bits
+    * of an IEEE double (low 34 zero).
+    */
+  private def rkValue(rk: Int): Double = {
+    val base =
+      if ((rk & 0x02) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if ((rk & 0x01) != 0) base / 100.0 else base
+  }
 
   private def records(wb: Array[Byte], from: Int): Iterator[Rec] =
     new Iterator[Rec] {
@@ -124,6 +138,16 @@ object XlsDecode {
           case 0x0203 => // Number
             val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
             cells += ((rw, colIdx, "NUMERIC", f64(wb, r.off + 6).toString))
+          case 0x027E => // RK
+            val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
+            cells += ((rw, colIdx, "NUMERIC",
+              rkValue(i32(wb, r.off + 6)).toString))
+          case 0x00BD => // MulRk: rw, colFirst, n x (ixfe + RK), colLast
+            val rw = u16(wb, r.off); val colFirst = u16(wb, r.off + 2)
+            val n = (r.len - 6) / 6
+            for (k <- 0 until n)
+              cells += ((rw, colFirst + k, "NUMERIC",
+                rkValue(i32(wb, r.off + 4 + 6 * k + 2)).toString))
           case 0x0205 => // BoolErr
             val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
             val v = wb(r.off + 6) & 0xFF

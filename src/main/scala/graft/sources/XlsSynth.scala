@@ -32,9 +32,43 @@ object XlsSynth {
       (if (high) s.getBytes("UTF-16LE") else s.getBytes("ISO-8859-1"))
   }
 
+  /** Typed synth cell: STRING via the SST, or an RK-encoded numeric —
+    * runs of >= 2 consecutive RkCells in a row are written as ONE MulRk
+    * record (the form real-world BIFF8 writers emit for numeric rows),
+    * single ones as RK.
+    */
+  sealed trait XCell
+  final case class SCell(s: String) extends XCell
+  final case class RkCell(v: Double) extends XCell
+
+  /** RK encoding of a double (MS-XLS 2.5.276): prefer the 30-bit
+    * integer form, then integer-x100 (fDiv100), then the truncated-
+    * double form (exact only when the low 34 mantissa bits are zero);
+    * values that round-trip under none of them are a synth spec error.
+    */
+  private def rkBits(v: Double): Int = {
+    val asLong = v.toLong
+    if (asLong.toDouble == v && math.abs(asLong) < (1L << 29))
+      ((asLong.toInt << 2) | 2)
+    else {
+      val c = math.rint(v * 100)
+      if (math.abs(c) < (1L << 29) && c / 100.0 == v)
+        ((c.toInt << 2) | 3)
+      else {
+        val bits = java.lang.Double.doubleToLongBits(v)
+        require((bits & 0x3FFFFFFFFL) == 0, s"$v is not RK-encodable")
+        ((bits >>> 32) & 0xFFFFFFFCL).toInt
+      }
+    }
+  }
+
   /** Build an .xls: `sheets` = name -> rows -> STRING cells. */
-  def xls(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
-    val allStrings = sheets.flatMap(_._2.flatten)
+  def xls(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] =
+    xlsTyped(sheets.map { case (n, rows) => n -> rows.map(_.map(SCell)) })
+
+  /** Build an .xls from typed cells (STRING + RK/MulRk numerics). */
+  def xlsTyped(sheets: Seq[(String, Seq[Seq[XCell]])]): Array[Byte] = {
+    val allStrings = sheets.flatMap(_._2.flatten).collect { case SCell(s) => s }
     val unique = allStrings.distinct
     val sstIndex = unique.zipWithIndex.toMap
 
@@ -42,9 +76,36 @@ object XlsSynth {
     val sheetBytes = sheets.map { case (_, rows) =>
       val out = new ByteArrayOutputStream()
       out.write(bof(0x0010))
-      for ((cells, rw) <- rows.zipWithIndex; (v, colIdx) <- cells.zipWithIndex)
-        out.write(rec(0x00FD,
-          u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(sstIndex(v))))
+      for ((cells, rw) <- rows.zipWithIndex) {
+        var colIdx = 0
+        while (colIdx < cells.length) {
+          cells(colIdx) match {
+            case SCell(v) =>
+              out.write(rec(0x00FD,
+                u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(sstIndex(v))))
+              colIdx += 1
+            case RkCell(_) =>
+              var end = colIdx
+              while (end < cells.length && cells(end).isInstanceOf[RkCell])
+                end += 1
+              if (end - colIdx == 1) {
+                val RkCell(v) = cells(colIdx): @unchecked
+                out.write(rec(0x027E,
+                  u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(rkBits(v))))
+              } else {
+                val body = new ByteArrayOutputStream()
+                body.write(u16(rw)); body.write(u16(colIdx))
+                for (k <- colIdx until end) {
+                  val RkCell(v) = cells(k): @unchecked
+                  body.write(u16(0x000F)); body.write(i32(rkBits(v)))
+                }
+                body.write(u16(end - 1)) // colLast
+                out.write(rec(0x00BD, body.toByteArray))
+              }
+              colIdx = end
+          }
+        }
+      }
       out.write(rec(0x000A, Array.emptyByteArray))
       out.toByteArray
     }

@@ -36,6 +36,31 @@ class XlsDecodeSpec extends AnyFunSuite {
       .contains(java.time.LocalDate.of(2023, 3, 15)))
   }
 
+  test("RK/MulRk numeric cells: all three encodings decode to NUMERIC") {
+    import XlsSynth.{SCell, RkCell}
+    // 123.45 / 0.07 → fDiv100+fInt, -7.0 → fInt, 2.5 → truncated-double
+    // (low 34 mantissa bits zero); runs of >=2 ride as one MulRk record.
+    val bytes = XlsSynth.xlsTyped(Seq("S" -> Seq(
+      Seq(SCell("hdr"), RkCell(123.45), RkCell(-7.0), RkCell(0.07)),
+      Seq(RkCell(2.5)))))
+    val sheets = XlsDecode.decodeXls(bytes)
+    val cells = sheets.head.rows.map(_.cells.map(c => (c.cellType, c.value)))
+    assert(cells == Seq(
+      Seq(("STRING", "hdr"), ("NUMERIC", "123.45"), ("NUMERIC", "-7.0"),
+        ("NUMERIC", "0.07")),
+      Seq(("NUMERIC", "2.5"))))
+  }
+
+  test("q63 numeric tail rows are NUMERIC and invisible to the " +
+      "STRING-only beneficiary scan (F9)") {
+    val sheets = XlsDecode.decodeXls(OoxmlCorpus.xlsBytes(3))
+    val tail = sheets.head.rows.drop(3)
+    assert(tail.map(_.cells.map(_.cellType)) ==
+      Seq(Seq("NUMERIC", "NUMERIC", "NUMERIC"), Seq("NUMERIC")))
+    // oracle invariance: beneficiaries unchanged by the numeric rows
+    assert(SheetTable.parseBeneficiaries(sheets).size == 2)
+  }
+
   test("not-an-xls containers are rejected") {
     intercept[IllegalArgumentException] {
       XlsDecode.decodeXls(DocSynth.cfb(Seq("Other" -> new Array[Byte](4096))))
