@@ -27,16 +27,21 @@ import scala.collection.mutable.ArrayBuffer
   * first (r05): hex `<...>` string operands, the current transformation
   * matrix (`cm` concatenation with `q`/`Q` save/restore — glyph and
   * fill-path coordinates are CTM-transformed like PDFBox's
-  * `PdfParser.java:212-216` positions), and `<<`/`>>` dict tokens.
+  * `PdfParser.java:212-216` positions), `<<`/`>>` dict tokens,
+  * per-glyph advances from simple-font /FirstChar + /Widths tables
+  * (inline or ref-to-array, §9.6.2 — the metric PDFBox's text stripper
+  * applies), and PDF 1.5 object streams (/Type /ObjStm payloads
+  * expanded into the object map, §7.5.7 — the packing every post-2006
+  * writer uses, without which a modern file has NO visible page tree).
   *
-  * Documented deltas vs PDFBox: glyph advance uses a fixed
-  * 0.5 * fontSize per char (no font metrics / ToUnicode CMaps — string
-  * bytes are decoded as UTF-8); rotated pages (a rotating CTM turns
-  * rect fills into bounding boxes) and non-Flate filters are not
-  * implemented. The synthesized q64 corpus ([[PdfSynth]]) writes all
-  * four convention variants (plain, Flate, cm-scaled, hex-string), so
-  * the decode oracle covers them; a real-world PDF feeds the same
-  * pipeline with approximate advances.
+  * Documented deltas vs PDFBox: fonts without /Widths advance by a
+  * fixed 0.5 * fontSize per char; no ToUnicode CMaps (string bytes are
+  * decoded as UTF-8, so Identity-H two-byte codes mis-decode); rotated
+  * pages (a rotating CTM turns rect fills into bounding boxes) and
+  * non-Flate filters are not implemented. The synthesized q64 corpus
+  * ([[PdfSynth]]) cycles six convention variants (plain, Flate,
+  * cm-scaled, hex-string, /Widths metrics, ObjStm+XRef-stream), so the
+  * decode oracle covers each.
   */
 object PdfDecode {
 
@@ -110,7 +115,43 @@ object PdfDecode {
         }
       }
     }
-    out.result()
+    val direct = out.result()
+    val packed = direct.values
+      .filter(o => o.dict.contains("/ObjStm") && o.stream.isDefined)
+      .flatMap(o => expandObjStm(o))
+      .map(o => o.num -> o).toMap
+    // direct objects win on collision — the incremental-update rule
+    // that the newest (scanned, top-level) definition is live
+    packed ++ direct
+  }
+
+  /** Expand a PDF 1.5 object stream (/Type /ObjStm, §7.5.7): the
+    * decompressed payload opens with /N (num, offset) integer pairs,
+    * object bodies start at /First. Compressed objects carry no streams
+    * by spec, so each becomes a dict-only [[Obj]]. All offsets are
+    * bounds-clamped — a corrupt header truncates the expansion rather
+    * than throwing.
+    */
+  private def expandObjStm(o: Obj): Seq[Obj] = {
+    val data = o.stream.get
+    val s = new String(data, "ISO-8859-1")
+    val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict)
+      .flatMap(_.group(1).toIntOption).getOrElse(0)
+    val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict)
+      .flatMap(_.group(1).toIntOption).getOrElse(0)
+    if (n <= 0 || first <= 0 || first > s.length) return Nil
+    val header = """\d+""".r.findAllIn(s.substring(0, first))
+      .flatMap(_.toIntOption).toSeq
+    val pairs = header.grouped(2)
+      .collect { case Seq(num, off) => (num, off) }.take(n).toSeq
+    pairs.zipWithIndex.map { case ((num, off), k) =>
+      val start = math.min(math.max(first.toLong + off, 0L), s.length).toInt
+      val end =
+        if (k + 1 < pairs.length)
+          math.min(math.max(first.toLong + pairs(k + 1)._2, start), s.length).toInt
+        else s.length
+      Obj(num, s.substring(start, end), None)
+    }
   }
 
   /** Hard cap on total inflated bytes per FILE — one pathological row
@@ -156,20 +197,113 @@ object PdfDecode {
     (key + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(dict)
       .map(_.group(1).toInt)
 
+  // ---------- font metrics (the /Widths advance PDFBox reads) ----------
+
+  /** Per-glyph advance table from a simple font's /FirstChar + /Widths
+    * (PDF 32000 §9.6.2, 1000-unit glyph space). Codes outside the table
+    * fall back to the 0.5 * fontSize approximation — the documented
+    * behavior for fonts that carry no widths at all.
+    */
+  final case class FontWidths(firstChar: Int, widths: Array[Float]) {
+    def advance(code: Int, size: Float): Float = {
+      val idx = code - firstChar
+      if (idx >= 0 && idx < widths.length) widths(idx) / 1000f * size
+      else 0.5f * size
+    }
+  }
+
+  /** The balanced `<< ... >>` slice starting at the first `<<` at or
+    * after `from` (nested dicts handled; None when unbalanced).
+    */
+  private def dictAt(s: String, from: Int): Option[String] = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return None
+    var i = start
+    var depth = 0
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  private val bareRefRe = """^\s*(\d+)\s+\d+\s+R""".r
+
+  /** /FirstChar + /Widths (inline array or ref-to-array object). */
+  private def fontWidths(fontDict: String,
+                         objs: Map[Int, Obj]): Option[FontWidths] = {
+    val fc = """/FirstChar\s+(\d+)""".r.findFirstMatchIn(fontDict)
+      .map(_.group(1).toInt)
+    val wAt = fontDict.indexOf("/Widths")
+    if (fc.isEmpty || wAt < 0) return None
+    val tail = fontDict.substring(wAt + "/Widths".length)
+    val arrSrc = bareRefRe.findFirstMatchIn(tail) match {
+      case Some(m) => objs.get(m.group(1).toInt).map(_.dict)
+      case None => Some(tail)
+    }
+    arrSrc.flatMap { a =>
+      val lb = a.indexOf('[')
+      val rb = if (lb < 0) -1 else a.indexOf(']', lb)
+      if (rb < 0) None
+      else {
+        val ws = """[-\d.]+""".r.findAllIn(a.substring(lb + 1, rb))
+          .flatMap(_.toFloatOption).toArray
+        if (ws.isEmpty) None else Some(FontWidths(fc.get, ws))
+      }
+    }
+  }
+
+  /** Resource-name -> widths for one page's /Resources /Font dict
+    * (inline or indirect resources; fonts referenced indirectly —
+    * inline font dicts without /Widths simply keep the fallback).
+    */
+  private def fontsOf(pageDict: String,
+                      objs: Map[Int, Obj]): Map[String, FontWidths] = {
+    val at = pageDict.indexOf("/Resources")
+    if (at < 0) return Map.empty
+    val resDict = bareRefRe
+      .findFirstMatchIn(pageDict.substring(at + "/Resources".length)) match {
+      case Some(m) => objs.get(m.group(1).toInt).map(_.dict)
+      case None => dictAt(pageDict, at)
+    }
+    resDict.toSeq.flatMap { res =>
+      val fAt = res.indexOf("/Font")
+      if (fAt < 0) Nil
+      else dictAt(res, fAt).toSeq.flatMap { fd =>
+        """/([\w.]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fd).flatMap { m =>
+          objs.get(m.group(2).toInt)
+            .flatMap(o => fontWidths(o.dict, objs))
+            .map(m.group(1) -> _)
+        }
+      }
+    }.toMap
+  }
+
   private def refsInArray(dict: String, key: String): Seq[Int] =
     (key + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(dict)
       .map(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq)
       .getOrElse(Nil)
 
-  /** Page content streams + media box width, in document order. */
-  def pageStreams(bytes: Array[Byte]): (Seq[Array[Byte]], Float) = {
+  /** One page as the interpreter consumes it: concatenated content
+    * stream + the page's font width tables.
+    */
+  final case class PageData(content: Array[Byte],
+                            fonts: Map[String, FontWidths])
+
+  /** Page content (+ per-page fonts) + media box width, in document
+    * order.
+    */
+  def pageData(bytes: Array[Byte]): (Seq[PageData], Float) = {
     val objs = objects(bytes)
     val catalog = objs.values.find(_.dict.contains("/Catalog"))
       .getOrElse(throw new IllegalArgumentException("no /Catalog object"))
     val pagesRoot = ref(catalog.dict, "/Pages")
       .getOrElse(throw new IllegalArgumentException("no /Pages in catalog"))
     var mediaWidth = 612f
-    val contents = new ArrayBuffer[Array[Byte]]
+    val contents = new ArrayBuffer[PageData]
     // visited set: a cyclic /Kids graph in corrupt input must terminate
     // with a truncated walk, not a StackOverflowError
     val visited = scala.collection.mutable.Set[Int]()
@@ -182,15 +316,22 @@ object PdfDecode {
           refsInArray(o.dict, "/Contents")
         val data = streamRefs.distinct
           .flatMap(objs.get).flatMap(_.stream)
-        if (data.nonEmpty)
-          contents += data.reduce(_ ++ Array[Byte]('\n') ++ _)
-        else contents += Array.emptyByteArray
+        val content =
+          if (data.nonEmpty) data.reduce(_ ++ Array[Byte]('\n') ++ _)
+          else Array.emptyByteArray
+        contents += PageData(content, fontsOf(o.dict, objs))
       } else {
         refsInArray(o.dict, "/Kids").foreach(walk)
       }
     }
     walk(pagesRoot)
     (contents.toSeq, mediaWidth)
+  }
+
+  /** Page content streams + media box width (fonts dropped). */
+  def pageStreams(bytes: Array[Byte]): (Seq[Array[Byte]], Float) = {
+    val (pd, w) = pageData(bytes)
+    (pd.map(_.content), w)
   }
 
   // ---------- content-stream interpreter ----------
@@ -291,14 +432,19 @@ object PdfDecode {
     }
   }
 
-  /** Interpret one page's content into the kernel's Page. */
-  def interpret(content: Array[Byte]): Page = {
+  /** Interpret one page's content into the kernel's Page. `fonts` maps
+    * resource names (Tf operands) to width tables; text shown in a font
+    * without one advances by the 0.5 * fontSize fallback.
+    */
+  def interpret(content: Array[Byte],
+                fonts: Map[String, FontWidths] = Map.empty): Page = {
     val glyphs = new ArrayBuffer[Glyph]
     val rects = new ArrayBuffer[Rect]
     val pending = new ArrayBuffer[Rect]
     val stack = new ArrayBuffer[Tok]
     var lineX, lineY, curX, curY = 0f
     var fontSize = 12f
+    var font: Option[FontWidths] = None
     var leading = 0f
     // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4),
     // identity by default; `cm` concatenates, q/Q save/restore. Device
@@ -316,7 +462,10 @@ object PdfDecode {
       val s = new String(bytes, "UTF-8")
       for (ch <- s) {
         glyphs += Glyph(txX(curX, curY), txY(curX, curY), ch.toString)
-        curX += fontSize * 0.5f
+        curX += (font match {
+          case Some(f) => f.advance(ch.toInt, fontSize)
+          case None => fontSize * 0.5f
+        })
       }
     }
     for (tok <- tokenize(content)) tok match {
@@ -324,7 +473,13 @@ object PdfDecode {
         op match {
           case "BT" => lineX = 0; lineY = 0; curX = 0; curY = 0
           case "ET" =>
-          case "Tf" => if (stack.nonEmpty) fontSize = num(1)
+          case "Tf" =>
+            if (stack.nonEmpty) fontSize = num(1)
+            font =
+              (if (stack.length >= 2) stack(stack.length - 2) else TOp("")) match {
+                case TName(n) => fonts.get(n)
+                case _ => None
+              }
           case "TL" => leading = num(1)
           case "Td" =>
             lineX += num(2); lineY += num(1); curX = lineX; curY = lineY
@@ -385,8 +540,8 @@ object PdfDecode {
 
   /** PDF bytes -> kernel pages (S4 + P1, real). */
   def pages(bytes: Array[Byte]): Seq[Page] = {
-    val (streams, _) = pageStreams(bytes)
-    streams.map(interpret)
+    val (pd, _) = pageData(bytes)
+    pd.map(p => interpret(p.content, p.fonts))
   }
 
   /** One-parse form: pages AND media width from a single object scan —
@@ -395,12 +550,12 @@ object PdfDecode {
     * every stream twice, doubling the per-file inflation work).
     */
   def pagesWithWidth(bytes: Array[Byte]): (Seq[Page], Float) = {
-    val (streams, w) = pageStreams(bytes)
-    (streams.map(interpret), w)
+    val (pd, w) = pageData(bytes)
+    (pd.map(p => interpret(p.content, p.fonts)), w)
   }
 
   /** Media width of the first /MediaBox seen (the stakeholder pipeline's
     * pageWidth input).
     */
-  def pageWidth(bytes: Array[Byte]): Float = pageStreams(bytes)._2
+  def pageWidth(bytes: Array[Byte]): Float = pageData(bytes)._2
 }

@@ -46,13 +46,28 @@ object PdfSynth {
     }
   }
 
+  /** The widths-variant synthetic metric table: /FirstChar 32, 95
+    * entries over the ASCII range, per-1000 glyph units. Deterministic
+    * and non-uniform so a decoder that ignores /Widths gets visibly
+    * wrong x-advances; codes past 126 (the corpus's Cyrillic) fall
+    * back to the 0.5 * size rule on both sides.
+    */
+  def synthWidth(code: Int): Int =
+    if (code == 32) 278 else 400 + (code % 8) * 40
+
   /** Assemble a PDF from per-page content (MediaBox 0 0 612 792).
     * `compress` runs every content stream through Deflater
-    * (/FlateDecode) — both forms must decode identically.
+    * (/FlateDecode) — both forms must decode identically. `widths`
+    * emits the font as an INDIRECT object carrying /FirstChar and a
+    * ref-to-array /Widths ([[synthWidth]]) — the simple-font metric
+    * convention real-world PDFs use (PDF 32000 §9.6.2).
     */
-  def pdf(pages: Seq[Content], compress: Boolean = false): Array[Byte] = {
+  def pdf(pages: Seq[Content], compress: Boolean = false,
+          widths: Boolean = false): Array[Byte] = {
     val n = pages.size
-    // objects: 1 catalog, 2 pages, then per page i: (3+2i) page, (4+2i) content
+    // objects: 1 catalog, 2 pages, then per page i: (3+2i) page,
+    // (4+2i) content; widths variant appends (3+2n) font, (4+2n) widths
+    val fontObjNum = 3 + 2 * n
     val objs = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
     def obj(num: Int, body: String): Array[Byte] =
       s"$num 0 obj\n$body\nendobj\n".getBytes("ISO-8859-1")
@@ -61,11 +76,13 @@ object PdfSynth {
     objs += obj(2,
       s"<< /Type /Pages /Kids [ $kids ] /Count $n " +
         "/MediaBox [ 0 0 612 792 ] >>")
+    val fontRes =
+      if (widths) s"/F1 $fontObjNum 0 R"
+      else "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for ((c, i) <- pages.zipWithIndex) {
       objs += obj(3 + 2 * i,
         s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R " +
-          "/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 " +
-          "/BaseFont /Helvetica >> >> >> >>")
+          s"/Resources << /Font << $fontRes >> >> >>")
       val raw = c.bytes
       val data = if (compress) deflate(raw) else raw
       val filter = if (compress) " /Filter /FlateDecode" else ""
@@ -75,6 +92,13 @@ object PdfSynth {
       buf.write(data)
       buf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
       objs += buf.toByteArray
+    }
+    if (widths) {
+      objs += obj(fontObjNum,
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/FirstChar 32 /LastChar 126 /Widths ${fontObjNum + 1} 0 R >>")
+      objs += obj(fontObjNum + 1,
+        (32 to 126).map(synthWidth).mkString("[ ", " ", " ]"))
     }
     // assemble with a correct xref (PdfDecode scans, but the file is a
     // structurally valid PDF a standard reader accepts)
@@ -89,6 +113,92 @@ object PdfSynth {
     xref ++= s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n"
     xref ++= s"startxref\n$xrefAt\n%%EOF\n"
     out.write(xref.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Assemble the same document as PDF 1.5: every NON-stream object
+    * (catalog, page tree, page dicts, font + widths array) packed into
+    * one Flate-compressed /ObjStm, content streams top-level, and a
+    * cross-reference STREAM (/Type /XRef, W [1 3 2], type-1/type-2
+    * entries) instead of the classic xref table — the convention
+    * virtually every post-2006 real-world writer emits. Must decode
+    * identically to the classic form.
+    */
+  def pdfObjStm(pages: Seq[Content],
+                widths: Boolean = false): Array[Byte] = {
+    val n = pages.size
+    val fontObjNum = 3 + 2 * n
+    val packed = new scala.collection.mutable.ArrayBuffer[(Int, String)]
+    packed += 1 -> "<< /Type /Catalog /Pages 2 0 R >>"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    packed += 2 ->
+      (s"<< /Type /Pages /Kids [ $kids ] /Count $n " +
+        "/MediaBox [ 0 0 612 792 ] >>")
+    val fontRes =
+      if (widths) s"/F1 $fontObjNum 0 R"
+      else "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for (i <- 0 until n)
+      packed += (3 + 2 * i) ->
+        (s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R " +
+          s"/Resources << /Font << $fontRes >> >> >>")
+    if (widths) {
+      packed += fontObjNum ->
+        ("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/FirstChar 32 /LastChar 126 /Widths ${fontObjNum + 1} 0 R >>")
+      packed += (fontObjNum + 1) ->
+        (32 to 126).map(synthWidth).mkString("[ ", " ", " ]")
+    }
+    val objStmNum = fontObjNum + (if (widths) 2 else 0)
+    val xrefNum = objStmNum + 1
+
+    val bodies = packed.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = packed.map(_._1).zip(offs)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = deflate(
+      (header + bodies.mkString("\n") + "\n").getBytes("ISO-8859-1"))
+
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.5\n".getBytes("ISO-8859-1"))
+    val topOffsets = scala.collection.mutable.Map[Int, Int]()
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Unit = {
+      topOffsets(num) = out.size()
+      out.write(s"$num 0 obj\n$dict\nstream\n".getBytes("ISO-8859-1"))
+      out.write(data)
+      out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    }
+    for ((c, i) <- pages.zipWithIndex) {
+      val data = deflate(c.bytes)
+      streamObj(4 + 2 * i,
+        s"<< /Length ${data.length} /Filter /FlateDecode >>", data)
+    }
+    streamObj(objStmNum,
+      s"<< /Type /ObjStm /N ${packed.size} /First ${header.length} " +
+        s"/Filter /FlateDecode /Length ${payload.length} >>", payload)
+
+    // the XRef stream indexes itself, so record its offset first
+    val xrefAt = out.size()
+    topOffsets(xrefNum) = xrefAt
+    val packedIndex = packed.map(_._1).zipWithIndex.toMap
+    val rows = new ByteArrayOutputStream()
+    def row(t: Int, f2: Int, f3: Int): Unit = {
+      rows.write(t)
+      rows.write((f2 >> 16) & 0xFF); rows.write((f2 >> 8) & 0xFF)
+      rows.write(f2 & 0xFF)
+      rows.write((f3 >> 8) & 0xFF); rows.write(f3 & 0xFF)
+    }
+    for (num <- 0 to xrefNum) {
+      if (num == 0) row(0, 0, 0xFFFF)
+      else packedIndex.get(num) match {
+        case Some(idx) => row(2, objStmNum, idx)
+        case None => row(1, topOffsets.getOrElse(num, 0), 0)
+      }
+    }
+    val xrefData = rows.toByteArray
+    streamObj(xrefNum,
+      s"<< /Type /XRef /Size ${xrefNum + 1} /W [ 1 3 2 ] /Root 1 0 R " +
+        s"/Length ${xrefData.length} >>", xrefData)
+    out.write(s"startxref\n$xrefAt\n%%EOF\n".getBytes("ISO-8859-1"))
     out.toByteArray
   }
 
@@ -139,7 +249,9 @@ object PdfSynth {
     */
   def stakeholderPdf(i: Int, compress: Boolean = false,
                      scale: Float = 1f,
-                     hexStrings: Boolean = false): Array[Byte] = {
+                     hexStrings: Boolean = false,
+                     widths: Boolean = false,
+                     objStm: Boolean = false): Array[Byte] = {
     def content = new Content(scale, hexStrings)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
@@ -165,6 +277,7 @@ object PdfSynth {
     p3.text(30f, 750f, 10f,
       "Изменения, произошедшие в списке аффилированных лиц")
 
-    pdf(Seq(p1, p2, p3), compress)
+    if (objStm) pdfObjStm(Seq(p1, p2, p3), widths)
+    else pdf(Seq(p1, p2, p3), compress, widths)
   }
 }

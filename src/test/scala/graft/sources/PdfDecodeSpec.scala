@@ -75,6 +75,39 @@ class PdfDecodeSpec extends AnyFunSuite {
       odd.lines.head.glyphs) // "414" -> 0x41 'A', 0x40 '@'
   }
 
+  test("/Widths font metrics drive per-glyph advances (ref-to-array " +
+    "form); codes past /LastChar keep the 0.5 fallback") {
+    val c = new PdfSynth.Content
+    c.text(100f, 500f, 10f, "AB ж") // ASCII from the table, Cyrillic falls back
+    val bytes = PdfSynth.pdf(Seq(c), widths = true)
+    val gs = PdfDecode.pages(bytes).head.lines.head.glyphs
+    assert(gs.map(_.text) == Seq("A", "B", " ", "ж"))
+    val wA = PdfSynth.synthWidth('A') / 1000f * 10f // 440 -> 4.4
+    val wB = PdfSynth.synthWidth('B') / 1000f * 10f
+    val wSp = PdfSynth.synthWidth(' ') / 1000f * 10f // 278 -> 2.78
+    assert(gs(1).x == 100f + wA)
+    assert(gs(2).x == 100f + wA + wB)
+    assert(gs(3).x == 100f + wA + wB + wSp)
+    // without a widths table the same content keeps the 0.5 rule
+    val plain = PdfDecode.pages(PdfSynth.pdf(Seq(c))).head
+    assert(plain.lines.head.glyphs(1).x == 105f)
+  }
+
+  test("PDF 1.5 object streams: packed page tree + XRef stream file " +
+    "decodes identically to the classic-xref form") {
+    val classic = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(9, widths = true))
+    val packed = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(9, widths = true, objStm = true))
+    assert(packed == classic,
+      "ObjStm-packed objects must be invisible at the Page level")
+    assert(PdfDecode.pageWidth(
+      PdfSynth.stakeholderPdf(9, widths = true, objStm = true)) == 612f)
+    // the full geometry pipeline over the ObjStm file
+    val sts = graft.core.PdfTable.parseStakeholderPages(packed, 612f)
+    assert(sts.size == 9, sts.map(_.name))
+  }
+
   test("q64 stakeholder filing decodes to the closed-form 9 rows " +
     "(titles, skip-row quirk, cross-page stitch, end-page stop)") {
     val i = 4
