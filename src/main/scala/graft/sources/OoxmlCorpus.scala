@@ -114,7 +114,10 @@ object OoxmlCorpus {
     * RK/MulRk records (the compressed numeric forms real-world writers
     * emit): they land in the sheet model as NUMERIC cells, which the
     * STRING-only beneficiary scan (F9) must skip — a type-confusion
-    * regression would add rows and fail the oracle.
+    * regression would add rows and fail the oracle. Every third
+    * workbook caps SST records at 48 bytes, spilling the shared strings
+    * across Continue records with mid-string (UTF-16) splits — the
+    * big-SST layout — and must decode identically.
     */
   def xlsBytes(w: Int): Array[Byte] = {
     import XlsSynth.{SCell, RkCell}
@@ -125,11 +128,12 @@ object OoxmlCorpus {
         Seq(SCell(s"ООО Фирма $w-1"), SCell(s"Иванов И.$w")),
         Seq(SCell(s"АО Завод $w-2"), SCell(s"Петров П.$w")),
         Seq(RkCell(123.45), RkCell(-7.0), RkCell(0.07)), // one MulRk
-        Seq(RkCell(2.5)))))                              // one RK
+        Seq(RkCell(2.5)))),                              // one RK
+      sstCap = if (w % 3 == 0) 48 else 8224)
   }
 
   def ensureXls(): String =
-    ensure("/tmp/graft_xls_corpus_v2", nXlsx, "xls", xlsBytes)
+    ensure("/tmp/graft_xls_corpus_v3", nXlsx, "xls", xlsBytes)
 
   val nPdf = 10
 

@@ -20,8 +20,12 @@ import scala.collection.mutable.ArrayBuffer
   *     mapped to the same POI CellType names [[graft.core.SheetTable]]
   *     consumes (E1/E2/X2).
   *
-  * Documented deltas vs full HSSF: formula results, continued SST
-  * records (strings split across Continue records) and number
+  * The SST reads across Continue records (MS-XLS 2.1.4) — the layout
+  * every workbook past 8224 bytes of shared strings has, including
+  * strings whose character data splits mid-string with a fresh
+  * encoding byte per continuation.
+  *
+  * Documented deltas vs full HSSF: formula results and number
   * formatting are not decoded — NUMERIC cells carry the raw IEEE
   * double's toString. Only STRING cells participate in the reference's
   * beneficiary extraction (`ExcelParser.java:160`), so the extraction
@@ -62,21 +66,80 @@ object XlsDecode {
       }
     }
 
-  /** XLUnicodeRichExtendedString at `off`: (string, bytesConsumed). */
-  private def xlString(b: Array[Byte], off: Int): (String, Int) = {
-    val cch = u16(b, off)
-    val flags = b(off + 2) & 0xFF
-    val highByte = (flags & 0x01) != 0
+  /** Cursor over an SST record body plus its Continue-record bodies
+    * (MS-XLS 2.1.4 / 2.5.293): fixed fields and rich/ext skips jump
+    * segment boundaries transparently (no leading byte on non-character
+    * continuations), while character data re-reads a fresh fHighByte
+    * option byte at each continuation — a string may switch between
+    * compressed and UTF-16 encodings mid-string at a record boundary.
+    * All reads are bounds-guarded: corrupt counts throw (-> error row)
+    * instead of spinning or over-reading.
+    */
+  private final class RecSpan(wb: Array[Byte], segs: IndexedSeq[(Int, Int)]) {
+    private var si = 0
+    private var p = segs(0)._1
+    private def segEnd: Int = segs(si)._2
+    private def jumpIfEnd(): Unit =
+      while (p >= segEnd && si + 1 < segs.length) { si += 1; p = segs(si)._1 }
+    def u8(): Int = {
+      jumpIfEnd()
+      require(p < segEnd, "SST read past final Continue record")
+      val v = wb(p) & 0xFF; p += 1; v
+    }
+    def u16(): Int = u8() | (u8() << 8)
+    def i32(): Int = u16() | (u16() << 16)
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        jumpIfEnd()
+        val take = math.min(left, (segEnd - p).toLong)
+        require(take > 0, "SST skip past final Continue record")
+        p += take.toInt; left -= take
+      }
+    }
+    /** cch characters starting under `highInit` encoding. */
+    def chars(cch: Int, highInit: Boolean): String = {
+      val sb = new StringBuilder
+      var high = highInit
+      var left = cch
+      while (left > 0) {
+        if (p >= segEnd) {
+          require(si + 1 < segs.length,
+            "SST string runs past the final Continue record")
+          si += 1; p = segs(si)._1
+          high = (u8() & 0x01) != 0 // continuation option byte
+        } else {
+          val width = if (high) 2 else 1
+          val avail = (segEnd - p) / width
+          if (avail == 0) {
+            // width 2 with a single trailing byte: the spec requires
+            // character-boundary splits, so this is corrupt input
+            require(segEnd - p == 0, "split inside a UTF-16 code unit")
+          } else {
+            val take = math.min(left, avail)
+            sb.append(new String(wb, p, take * width,
+              if (high) "UTF-16LE" else "ISO-8859-1"))
+            p += take * width
+            left -= take
+          }
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** One XLUnicodeRichExtendedString through the span cursor. */
+  private def spanString(span: RecSpan): String = {
+    val cch = span.u16()
+    val flags = span.u8()
+    val high = (flags & 0x01) != 0
     val extSt = (flags & 0x04) != 0
     val richSt = (flags & 0x08) != 0
-    var p = off + 3
-    val cRun = if (richSt) { val v = u16(b, p); p += 2; v } else 0
-    val cbExt = if (extSt) { val v = i32(b, p); p += 4; v } else 0
-    val s =
-      if (highByte) { val v = new String(b, p, 2 * cch, "UTF-16LE"); p += 2 * cch; v }
-      else { val v = new String(b, p, cch, "ISO-8859-1"); p += cch; v }
-    p += 4 * cRun + cbExt // skip formatting runs + ext data
-    (s, p - off)
+    val cRun = if (richSt) span.u16() else 0
+    val cbExt = if (extSt) span.i32() else 0
+    val s = span.chars(cch, high)
+    span.skip(4L * cRun + (cbExt.toLong & 0xFFFFFFFFL))
+    s
   }
 
   /** XLS bytes -> sheets in BoundSheet order — the exact input of
@@ -92,22 +155,26 @@ object XlsDecode {
     // globals: SST + BoundSheet8 until the first EOF
     val sst = new ArrayBuffer[String]()
     val sheets = new ArrayBuffer[(String, Int)]() // (name, substream pos)
-    val it = records(wb, 0)
+    val it = records(wb, 0).buffered
     var done = false
     while (it.hasNext && !done) {
       val r = it.next()
       r.sid match {
-        case 0x00FC => // SST: cstTotal, cstUnique, then the strings
+        case 0x00FC => // SST: cstTotal, cstUnique, then the strings,
+          // spilling into any number of directly-following Continue
+          // records (0x003C) — the layout every SST past 8224 bytes has
+          val segs = ArrayBuffer((r.off + 8, r.off + r.len))
+          while (it.hasNext && it.head.sid == 0x003C) {
+            val c = it.next()
+            segs += ((c.off, c.off + c.len))
+          }
           val unique = i32(wb, r.off + 4)
-          var p = r.off + 8
+          // `unique` is untrusted: the span cursor's bounds guards turn
+          // an over-claimed count into a decode error, never a spin
+          val span = new RecSpan(wb, segs.toIndexedSeq)
           var i = 0
-          while (i < unique && p < r.off + r.len) {
-            val (s, consumed) = xlString(wb, p)
-            // corrupt rich/ext length fields can yield a non-advancing
-            // cursor; unique is itself untrusted, so refuse to spin
-            require(consumed > 0, s"non-advancing SST string at $p")
-            sst += s
-            p += consumed
+          while (i < unique) {
+            sst += spanString(span)
             i += 1
           }
         case 0x0085 => // BoundSheet8: lbPlyPos, hsState, dt, cch, flags, name

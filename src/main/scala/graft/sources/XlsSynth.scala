@@ -26,12 +26,6 @@ object XlsSynth {
     rec(0x0809, u16(0x0600) ++ u16(dt) ++ u16(0x0DBB) ++ u16(0x07CC) ++
       i32(0) ++ i32(0x0006))
 
-  private def xlStr(s: String): Array[Byte] = {
-    val high = s.exists(_ > 0xFF)
-    u16(s.length) ++ Array((if (high) 1 else 0).toByte) ++
-      (if (high) s.getBytes("UTF-16LE") else s.getBytes("ISO-8859-1"))
-  }
-
   /** Typed synth cell: STRING via the SST, or an RK-encoded numeric —
     * runs of >= 2 consecutive RkCells in a row are written as ONE MulRk
     * record (the form real-world BIFF8 writers emit for numeric rows),
@@ -62,12 +56,55 @@ object XlsSynth {
     }
   }
 
+  /** SST record + any Continue records (MS-XLS 2.1.4): string blobs are
+    * packed into records of at most `cap` payload bytes; a string whose
+    * character data crosses a record boundary continues in the next
+    * record behind a fresh fHighByte option byte (the split always
+    * lands on a character boundary, and the header never straddles) —
+    * exactly how Excel spills an SST past 8224 bytes.
+    */
+  private[sources] def sstBlock(total: Int, unique: Seq[String],
+                                cap: Int = 8224): Array[Byte] = {
+    val segs = new scala.collection.mutable.ArrayBuffer[ByteArrayOutputStream]
+    var cur = new ByteArrayOutputStream()
+    cur.write(i32(total)); cur.write(i32(unique.length))
+    def room: Int = cap - cur.size
+    def newSeg(): Unit = { segs += cur; cur = new ByteArrayOutputStream() }
+    for (s <- unique) {
+      val high = s.exists(_ > 0xFF)
+      val width = if (high) 2 else 1
+      // keep the 3-byte header and the first character together
+      if (room < 3 + width) newSeg()
+      cur.write(u16(s.length)); cur.write(if (high) 1 else 0)
+      var idx = 0
+      while (idx < s.length) {
+        if (room < width) { newSeg(); cur.write(if (high) 1 else 0) }
+        val take = math.min(s.length - idx, room / width)
+        val chunk = s.substring(idx, idx + take)
+        cur.write(
+          if (high) chunk.getBytes("UTF-16LE") else chunk.getBytes("ISO-8859-1"))
+        idx += take
+      }
+    }
+    newSeg()
+    val out = new ByteArrayOutputStream()
+    out.write(rec(0x00FC, segs.head.toByteArray))
+    for (k <- 1 until segs.length) out.write(rec(0x003C, segs(k).toByteArray))
+    out.toByteArray
+  }
+
   /** Build an .xls: `sheets` = name -> rows -> STRING cells. */
   def xls(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] =
     xlsTyped(sheets.map { case (n, rows) => n -> rows.map(_.map(SCell)) })
 
-  /** Build an .xls from typed cells (STRING + RK/MulRk numerics). */
-  def xlsTyped(sheets: Seq[(String, Seq[Seq[XCell]])]): Array[Byte] = {
+  /** Build an .xls from typed cells (STRING + RK/MulRk numerics).
+    * `sstCap` caps SST record payloads (default = the real 8224-byte
+    * BIFF limit); a small cap forces Continue-record spills so tests
+    * and the q63 corpus exercise split strings without megabytes of
+    * text.
+    */
+  def xlsTyped(sheets: Seq[(String, Seq[Seq[XCell]])],
+               sstCap: Int = 8224): Array[Byte] = {
     val allStrings = sheets.flatMap(_._2.flatten).collect { case SCell(s) => s }
     val unique = allStrings.distinct
     val sstIndex = unique.zipWithIndex.toMap
@@ -110,28 +147,22 @@ object XlsSynth {
       out.toByteArray
     }
 
-    // globals: BOF + SST + BoundSheet8 per sheet + EOF; BoundSheet8
-    // length depends only on the names, so positions resolve in one pass
-    val sstPayload = {
-      val out = new ByteArrayOutputStream()
-      out.write(i32(allStrings.length)); out.write(i32(unique.length))
-      unique.foreach(s => out.write(xlStr(s)))
-      out.toByteArray
-    }
-    require(sstPayload.length <= 8224,
-      "synth SST exceeds one BIFF record (Continue records not written)")
+    // globals: BOF + SST(+Continues) + BoundSheet8 per sheet + EOF;
+    // record lengths depend only on strings/names, so positions resolve
+    // in one pass
+    val sst = sstBlock(allStrings.length, unique, sstCap)
     def boundSheet(name: String, pos: Int): Array[Byte] = {
       val high = name.exists(_ > 0xFF)
       rec(0x0085, i32(pos) ++ u16(0x0000) ++
         Array(name.length.toByte, (if (high) 1 else 0).toByte) ++
         (if (high) name.getBytes("UTF-16LE") else name.getBytes("ISO-8859-1")))
     }
-    val globalsLen = bof(0).length + rec(0x00FC, sstPayload).length +
+    val globalsLen = bof(0).length + sst.length +
       sheets.map(s => boundSheet(s._1, 0).length).sum + 4
     val positions = sheetBytes.scanLeft(globalsLen)(_ + _.length).init
     val out = new ByteArrayOutputStream()
     out.write(bof(0x0005))
-    out.write(rec(0x00FC, sstPayload))
+    out.write(sst)
     for ((s, pos) <- sheets.zip(positions)) out.write(boundSheet(s._1, pos))
     out.write(rec(0x000A, Array.emptyByteArray))
     require(out.size == globalsLen, s"globals length ${out.size} != $globalsLen")

@@ -61,6 +61,25 @@ class XlsDecodeSpec extends AnyFunSuite {
     assert(SheetTable.parseBeneficiaries(sheets).size == 2)
   }
 
+  test("Continue-record SST: strings split across records (incl. " +
+      "mid-string UTF-16 splits) decode identically to one-record SST") {
+    val sheets = Seq(
+      "S" -> Seq(
+        Seq("a long latin shared string that will straddle records",
+          "Кириллическая строка достаточной длины для разреза"),
+        Seq("short", "Ещё одна строка")))
+    val oneRec = XlsDecode.decodeXls(XlsSynth.xls(sheets))
+    // cap far below every string length: headers, mid-char-data splits
+    // with per-continuation option bytes, and between-string splits all
+    // occur across the spilled records
+    for (cap <- Seq(16, 23, 48)) {
+      val split = XlsDecode.decodeXls(XlsSynth.xlsTyped(
+        sheets.map { case (n, rows) => n -> rows.map(_.map(XlsSynth.SCell(_))) },
+        sstCap = cap))
+      assert(split == oneRec, s"cap=$cap must not change decoded sheets")
+    }
+  }
+
   test("not-an-xls containers are rejected") {
     intercept[IllegalArgumentException] {
       XlsDecode.decodeXls(DocSynth.cfb(Seq("Other" -> new Array[Byte](4096))))
