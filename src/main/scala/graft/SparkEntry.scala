@@ -2626,7 +2626,7 @@ object SparkEntry {
              AS chars
          FROM range(40) t(i)
          UNION ALL
-         SELECT 'doc', i::INT, 3::INT,
+         SELECT 'doc', i::INT, 4::INT,
            (length(' AGREEMENT ' || i || ' TITLE')
             + length(' agreement body text number ' || i || ' lorem')
             + length(' Section ' || i || ' details')
@@ -2637,7 +2637,14 @@ object SparkEntry {
                 '3. второй пункт ' || i || chr(10) ||
                 '3.1. подпункт ' || i || chr(10) ||
                 '• маркер ' || i || chr(10) ||
-                ' wide indent note ' || i))::INT
+                ' wide indent note ' || i || chr(10) ||
+                ' продавец ' || i || chr(10) ||
+                ' покупатель ' || i || chr(10) ||
+                ' адрес ' || i || chr(10) ||
+                ' город ' || i || chr(10) ||
+                ' регион ' || i)
+            + length(' APPENDIX ' || i || ' TERMS')
+            + length(' итог ' || i || chr(10) || ' сумма ' || i))::INT
          FROM range(20) t(i)
          UNION ALL
          SELECT 'xlsx', w::INT, 2::INT,
@@ -2693,7 +2700,12 @@ object SparkEntry {
     // level-1 item "3.1.", the bullet "•", and the final indented note
     // stays in the body because the REAL page width (sprmSXaPage 20000)
     // puts 4000 twips at 0.20 — a SEP decode regression would flip it
-    // to a header row and fail this oracle.
+    // to a header row and fail this oracle. The table tier is stated
+    // literally too: the five multi-cell-row cell paragraphs land in
+    // para 2's body (per-row CanNot demotion), the single-cell bold
+    // row is para 3's header, and the trailing 2-cell row its body —
+    // decoding the 0x07 marks as plain paragraph breaks would promote
+    // cells to headers and fail this oracle.
     "q62_doc_decode" ->
       """SELECT i::INT AS file_id, 0::INT AS doc_idx, 0::INT AS para_idx,
                 ' AGREEMENT ' || i || ' TITLE' AS header,
@@ -2712,7 +2724,17 @@ object SparkEntry {
                 '3. второй пункт ' || i || chr(10) ||
                 '3.1. подпункт ' || i || chr(10) ||
                 '• маркер ' || i || chr(10) ||
-                ' wide indent note ' || i
+                ' wide indent note ' || i || chr(10) ||
+                ' продавец ' || i || chr(10) ||
+                ' покупатель ' || i || chr(10) ||
+                ' адрес ' || i || chr(10) ||
+                ' город ' || i || chr(10) ||
+                ' регион ' || i
+         FROM range(20) t(i)
+         UNION ALL
+         SELECT i::INT, 0::INT, 3::INT,
+                ' APPENDIX ' || i || ' TERMS',
+                ' итог ' || i || chr(10) || ' сумма ' || i
          FROM range(20) t(i)""",
 
     // q60: one dated sheet per workbook, title row discovers the two

@@ -42,11 +42,20 @@ import scala.collection.mutable.ArrayBuffer
   *     page width for the 25%-indent header gate
   *     (`DocumentParser.java:113,824-826`), default 12240 twips.
   *
-  * Documented deltas vs full HWPF: table cells (0x07 cell marks) are
-  * treated as paragraph marks (flattened, like the nested-table note in
-  * [[OoxmlDecode]]); LFO level overrides (LFOLVL) are not applied (the
-  * reference's POI path also resolves numbering through the base LSTF
-  * levels only, `DocumentParser.java:141-143`).
+  *   - tables (sprmPFInTable 0x2416 / sprmPFTtp 0x2417 in PAPX +
+  *     0x07 cell/row marks in the text stream): reassembled into
+  *     [[graft.core.TableElement]] rows -> cells -> paragraphs, the
+  *     same structure POI's TableIterator hands the reference
+  *     (`DocumentParser.java:111-112,745-792`), so the shared table
+  *     traversal (A6: constant-column detection, bilingual probe,
+  *     per-row CanBeHeader demotion) runs on real bytes.
+  *
+  * Documented deltas vs full HWPF: cell/TTP marks are stripped from
+  * emitted text like paragraph marks (POI's raw `text()` retains the
+  * 0x07s and the reference only strips a trailing 0x0D — noise chars
+  * the fixture dialect never carried); LFO level overrides (LFOLVL)
+  * are not applied (the reference's POI path also resolves numbering
+  * through the base LSTF levels only, `DocumentParser.java:141-143`).
   *
   * All interval lookups (piece table, CHPX runs, PAPX paragraphs) are
   * binary searches over the construction-sorted arrays — a heavily
@@ -67,8 +76,11 @@ object DocDecode {
 
   private final case class ParaProps(jc: Int, dxaLeft: Int,
                                      pageBreakBefore: Boolean,
-                                     ilfo: Int, ilvl: Int)
-  private val DefaultPara = ParaProps(0, 0, pageBreakBefore = false, 0, 0)
+                                     ilfo: Int, ilvl: Int,
+                                     inTable: Boolean, ttp: Boolean)
+  private val DefaultPara =
+    ParaProps(0, 0, pageBreakBefore = false, 0, 0,
+      inTable = false, ttp = false)
 
   /** Rightmost interval with fcStart <= fc that still contains fc, over
     * an array sorted by fcStart (non-overlapping by construction in
@@ -265,6 +277,10 @@ object DocDecode {
                     props = props.copy(pageBreakBefore = (g(at) & 0xFF) == 1)
                   case 0x460B => props = props.copy(ilfo = u16(g, at))
                   case 0x260A => props = props.copy(ilvl = g(at) & 0xFF)
+                  case 0x2416 => // sprmPFInTable
+                    props = props.copy(inTable = (g(at) & 0xFF) == 1)
+                  case 0x2417 => // sprmPFTtp (row-terminator paragraph)
+                    props = props.copy(ttp = (g(at) & 0xFF) == 1)
                   case _ =>
                 }
               }
@@ -362,11 +378,34 @@ object DocDecode {
         }
       }
 
-    // ---- paragraphs: text split at paragraph marks (0x0D; cell marks
-    // 0x07 flattened — see the object scaladoc) ----
+    // ---- paragraphs: text split at paragraph marks (0x0D) and cell/
+    // row marks (0x07). Word97 table structure is reassembled from the
+    // PAPX table flags exactly as POI's TableIterator walks it
+    // (fInTable marks table paragraphs, fTtp marks the row-terminator
+    // paragraph): cell-mark-terminated paragraphs close a cell, the TTP
+    // closes the row, and a non-table paragraph flushes the pending
+    // rows as one [[TableElement]] — so the shared table traversal
+    // (constant-column detection, bilingual probe, per-row CanBeHeader
+    // demotion) runs on REAL .doc bytes. Marks are stripped from
+    // paragraph text and the TTP contributes no text, matching the
+    // markup-dialect contract (POI's raw text() would retain the 0x07
+    // chars the reference only strips for 0x0D — a noise-char delta
+    // the fixture dialect already pinned). Word97 predates nested
+    // tables, so fInTable/fTtp is the complete table surface here.
     val out = new ArrayBuffer[BodyElement]
+    val tblRows = new ArrayBuffer[Seq[Seq[Element]]]
+    val tblCells = new ArrayBuffer[Seq[Element]]
+    val tblCell = new ArrayBuffer[Element]
+    def closeRow(): Unit = {
+      if (tblCell.nonEmpty) { tblCells += tblCell.toSeq; tblCell.clear() }
+      if (tblCells.nonEmpty) { tblRows += tblCells.toSeq; tblCells.clear() }
+    }
+    def flushTable(): Unit = {
+      closeRow()
+      if (tblRows.nonEmpty) { out += TableElement(tblRows.toSeq); tblRows.clear() }
+    }
     var cpStart = 0
-    def emit(cpS: Int, cpEndIncl: Int): Unit = {
+    def emit(cpS: Int, cpEndIncl: Int, mark: Char): Unit = {
       val paraText = text.substring(cpS, cpEndIncl) // mark stripped
         // (the reference strips the trailing \r, DocumentParser.java:117)
       val markFc = fcOfCp(cpEndIncl)
@@ -392,7 +431,7 @@ object DocDecode {
           bold = if (run == null) None else run.value)
         c = cpRunEnd
       }
-      out += ParaElement(Element(
+      val el = Element(
         text = paraText,
         runs = runs.toSeq,
         align = Align.Left,
@@ -402,18 +441,34 @@ object DocDecode {
           if (props.pageBreakBefore) Some(CanBeHeader.Must) else None,
         listRef = listRefOf(props),
         docDialect = true,
-        justification = props.jc))
+        justification = props.jc)
+      if (props.inTable) {
+        if (props.ttp) closeRow() // row terminator; its text (just the
+          // 0x07 mark in well-formed files) carries no content
+        else {
+          tblCell += el
+          if (mark == '\u0007') { // cell mark closes the cell
+            tblCells += tblCell.toSeq; tblCell.clear()
+          }
+        }
+      } else {
+        flushTable()
+        out += ParaElement(el)
+      }
     }
     var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
       if (ch == '\r' || ch == '\u0007') {
-        emit(cpStart, i)
+        emit(cpStart, i, ch)
         cpStart = i + 1
       }
       i += 1
     }
-    if (cpStart < text.length) emit(cpStart, text.length)
+    // unterminated tail: treat the missing mark as a paragraph mark;
+    // an in-table tail joins its open cell and flushTable closes it
+    if (cpStart < text.length) emit(cpStart, text.length, '\r')
+    flushTable()
     out.toSeq
   }
 

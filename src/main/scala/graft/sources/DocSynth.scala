@@ -21,10 +21,35 @@ object DocSynth {
     * (0 left / 1 center / 2 right), left indent in twips, page break,
     * and the Word97 list reference (ilfo = 1-based index into the
     * `lists` passed to [[doc]], via sprmPIlfo/sprmPIlvl).
+    *
+    * Table paragraphs (r05): `inTable` writes sprmPFInTable (0x2416),
+    * `ttp` additionally writes sprmPFTtp (0x2417) — the row-terminator
+    * paragraph; `mark` is the paragraph-end char stored in the text
+    * stream (0x0D for plain paragraphs, 0x07 for cell ends and TTPs —
+    * MS-DOC 2.4.3 table-depth delimiters). Prefer [[tableParas]] over
+    * setting these by hand.
     */
   final case class DocP(text: String, bold: Boolean = false, jc: Int = 0,
                         dxaLeft: Int = 0, pageBreakBefore: Boolean = false,
-                        ilfo: Int = 0, ilvl: Int = 0)
+                        ilfo: Int = 0, ilvl: Int = 0,
+                        inTable: Boolean = false, ttp: Boolean = false,
+                        mark: Char = '\r')
+
+  /** Word97 table layout from rows -> cells -> cell paragraphs: every
+    * cell's last paragraph ends with the 0x07 cell mark, inner cell
+    * paragraphs keep 0x0D, and each row is closed by an empty TTP
+    * paragraph (0x07 mark + sprmPFTtp) — the byte shape POI's
+    * TableIterator consumes.
+    */
+  def tableParas(rows: Seq[Seq[Seq[DocP]]]): Seq[DocP] =
+    rows.flatMap { row =>
+      row.flatMap { cellParas =>
+        cellParas.zipWithIndex.map { case (p, k) =>
+          p.copy(inTable = true,
+            mark = if (k == cellParas.size - 1) '\u0007' else '\r')
+        }
+      } :+ DocP("", inTable = true, ttp = true, mark = '\u0007')
+    }
 
   /** One LVL of a synthesized list: startAt, number-format code
     * (23 = bullet), and the xst number text whose `(char)l` chars are
@@ -61,7 +86,7 @@ object DocSynth {
   def doc(paras: Seq[DocP], unicode: Boolean = false,
           lists: Seq[Lst] = Nil, xaPage: Int = 0,
           pieceChars: Int = 0): Array[Byte] = {
-    val textStr = paras.map(_.text).mkString("", "\r", "\r")
+    val textStr = paras.map(p => p.text + p.mark).mkString
     val fcText = 1024
 
     // ---- text pieces: (cpStart, chars, unicode, fc) ----
@@ -152,6 +177,12 @@ object DocSynth {
           }
           if (p.ilvl != 0) { // sprmPIlvl
             out.write(0x0A); out.write(0x26); out.write(p.ilvl)
+          }
+          if (p.inTable) { // sprmPFInTable
+            out.write(0x16); out.write(0x24); out.write(0x01)
+          }
+          if (p.ttp) { // sprmPFTtp
+            out.write(0x17); out.write(0x24); out.write(0x01)
           }
           out.toByteArray
         }

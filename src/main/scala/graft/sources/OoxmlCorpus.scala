@@ -58,7 +58,15 @@ object OoxmlCorpus {
     * level-1 item ("3.1."), a bullet item (nfc 23 -> "•"), and a
     * page-width discriminator (dxaLeft 4000: 0.20 under the REAL
     * sprmSXaPage=20000, but 0.327 -> header under the default 12240 —
-    * a wrong SEP decode flips the segmentation and fails the oracle).
+    * a wrong SEP decode flips the segmentation and fails the oracle),
+    * and the r05 REAL-table tier (0x07 cell/row marks +
+    * sprmPFInTable/sprmPFTtp): two 2-cell rows (demoted to body by the
+    * per-row CanNot gate — the second with a two-paragraph first cell
+    * exercising 0x0D-inside-cell), a single-cell row whose bold caps
+    * text PROMOTES to a header (row.size == 1 -> Can), then a final
+    * 2-cell row landing in that header's body — flattening tables back
+    * to paragraph marks would turn every cell into its own
+    * header-candidate paragraph and fail the oracle.
     * Cyrillic list items route the whole corpus through UTF-16 pieces.
     * Expected segmentation (incl. the DocumentParser.java:179
     * unconditional leading space) pinned in DocDecodeSpec AND the q62
@@ -77,7 +85,13 @@ object OoxmlCorpus {
       DocP(s"второй пункт $i", ilfo = 1),
       DocP(s"подпункт $i", ilfo = 1, ilvl = 1),
       DocP(s"маркер $i", ilfo = 2),
-      DocP(s"wide indent note $i", dxaLeft = 4000)),
+      DocP(s"wide indent note $i", dxaLeft = 4000)) ++
+      DocSynth.tableParas(Seq(
+        Seq(Seq(DocP(s"продавец $i")), Seq(DocP(s"покупатель $i"))),
+        Seq(Seq(DocP(s"адрес $i"), DocP(s"город $i")),
+          Seq(DocP(s"регион $i"))),
+        Seq(Seq(DocP(s"APPENDIX $i TERMS", bold = true))),
+        Seq(Seq(DocP(s"итог $i")), Seq(DocP(s"сумма $i"))))),
       unicode = true,
       lists = Seq(
         Lst(100, Seq(Lvl(1, 0, "\u0000."), Lvl(1, 0, "\u0000.\u0001."))),
@@ -106,7 +120,7 @@ object OoxmlCorpus {
     ensure("/tmp/graft_xlsx_corpus_v1", nXlsx, "xlsx", xlsxBytes)
 
   def ensureDoc62(): String =
-    ensure("/tmp/graft_doc_corpus_v2", nDoc62, "doc", docBytes62)
+    ensure("/tmp/graft_doc_corpus_v3", nDoc62, "doc", docBytes62)
 
   /** The q63 workbook for id w — the q60 content shape as a REAL BIFF8
     * .xls (Cyrillic titles exercise the UTF-16 SST path), so q63's
@@ -200,7 +214,7 @@ object OoxmlCorpus {
   def ensureCorruptPdf(): String =
     ensure("/tmp/graft_badpdf_corpus_v3", nCorrupt, "pdf", corruptPdfBytes)
   def ensureCorruptCfb(): String =
-    ensure("/tmp/graft_badcfb_corpus_v2", nCorrupt, "doc", corruptCfbBytes)
+    ensure("/tmp/graft_badcfb_corpus_v3", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =
     ensure("/tmp/graft_badzip_corpus_v1", nCorrupt, "docx", corruptZipBytes)
   def ensureGarbage(): String =

@@ -21,7 +21,7 @@ class BinaryDispatchSpec extends AnyFunSuite {
     assert(decode(OoxmlCorpus.docxBytes(2))
       .asInstanceOf[DecodedDoc].md.documents.nonEmpty)
     assert(decode(OoxmlCorpus.docBytes62(2))
-      .asInstanceOf[DecodedDoc].md.documents.head.paragraphs.size == 3)
+      .asInstanceOf[DecodedDoc].md.documents.head.paragraphs.size == 4)
     assert(decode(OoxmlCorpus.xlsBytes(2))
       .asInstanceOf[DecodedSheets].sheets.head.rows.size == 5) // 3 STRING + 2 RK/MulRk
     assert(decode(OoxmlCorpus.pdfBytes(2))

@@ -65,7 +65,7 @@ class DocDecodeSpec extends AnyFunSuite {
     val md = DocDecode.decodeDoc(OoxmlCorpus.docBytes62(i))
     assert(md.documents.size == 1)
     val paras = md.documents.head.paragraphs
-    assert(paras.size == 3, paras.map(p => (p.header.text, p.body.text)))
+    assert(paras.size == 4, paras.map(p => (p.header.text, p.body.text)))
     assert(paras(0).header.text == s" AGREEMENT $i TITLE")
     assert(paras(0).body.text == s" agreement body text number $i lorem")
     assert(paras(1).header.text == s" Section $i details")
@@ -74,10 +74,36 @@ class DocDecodeSpec extends AnyFunSuite {
     // list items: the reference's DOC root-seeding off-by-one numbers
     // the first level-0 item "2." (DocumentParser.java:145-166); the
     // final dxaLeft=4000 note stays body only because the REAL page
-    // width (sprmSXaPage 20000) is decoded
+    // width (sprmSXaPage 20000) is decoded. The table tier follows:
+    // multi-cell rows are CanNot-demoted into this body (5 cell
+    // paragraphs), then the single-cell bold row promotes to the next
+    // paragraph's header
     assert(paras(2).body.text ==
       s" final remark $i\n2. первый пункт $i\n3. второй пункт $i\n" +
-      s"3.1. подпункт $i\n• маркер $i\n wide indent note $i")
+      s"3.1. подпункт $i\n• маркер $i\n wide indent note $i\n" +
+      s" продавец $i\n покупатель $i\n адрес $i\n город $i\n регион $i")
+    assert(paras(3).header.text == s" APPENDIX $i TERMS")
+    assert(paras(3).body.text == s" итог $i\n сумма $i")
+  }
+
+  test("real table bytes reassemble to TableElement rows -> cells -> " +
+    "paragraphs (fInTable/fTtp + 0x07 marks)") {
+    val els = DocDecode.docBodyElements(OoxmlCorpus.docBytes62(3))
+    val tables = els.collect { case t: TableElement => t }
+    assert(tables.size == 1, "one flushed table")
+    val rows = tables.head.rows
+    assert(rows.map(_.map(_.map(_.text))) == Seq(
+      Seq(Seq("продавец 3"), Seq("покупатель 3")),
+      Seq(Seq("адрес 3", "город 3"), Seq("регион 3")),
+      Seq(Seq("APPENDIX 3 TERMS")),
+      Seq(Seq("итог 3"), Seq("сумма 3"))))
+    // the promoted cell keeps its CHPX bold run; every cell paragraph
+    // carries the DOC dialect flag
+    assert(rows(2).head.head.runs.head.bold.contains(true))
+    assert(rows.flatten.flatten.forall(_.docDialect))
+    // the table sits after the 11 plain paragraphs, nothing trails it
+    assert(els.indexWhere(_.isInstanceOf[TableElement]) == 11 &&
+      els.size == 12)
   }
 
   test("PlfLst/PlfLfo: listRef reaches the Element stream with the " +
