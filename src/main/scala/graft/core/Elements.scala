@@ -97,8 +97,18 @@ final case class Element(
     justification: Int = 0)
 
 /** Body-element stream: paragraphs or tables (BodyElementType dispatch,
-  * DocumentParser.java:404-475). A table is rows -> cells -> paragraphs.
+  * DocumentParser.java:404-475). A table is rows -> cells -> body
+  * streams: a cell holds paragraphs AND nested tables in document
+  * order, and the segmenter recurses into nested tables with their own
+  * per-table gating exactly like the reference's processBodyElement
+  * recursion over `cell.getBodyElements()` (:446-447).
   */
 sealed trait BodyElement
 final case class ParaElement(el: Element) extends BodyElement
-final case class TableElement(rows: Seq[Seq[Seq[Element]]]) extends BodyElement
+final case class TableElement(rows: Seq[Seq[Seq[BodyElement]]]) extends BodyElement
+
+object TableElement {
+  /** Rows of single-paragraph-stream cells (the flat common case). */
+  def ofParas(rows: Seq[Seq[Seq[Element]]]): TableElement =
+    TableElement(rows.map(_.map(_.map(e => ParaElement(e): BodyElement))))
+}

@@ -348,26 +348,30 @@ object Segmenter {
           }
           if (row.nonEmpty) prevNumCells = row.size
         }
-        // bilingual probe: first row whose both cells are non-blank (:427-442)
+        // bilingual probe: first row whose both cells are non-blank
+        // (:427-442); like POI's `getParagraphs()`, only the cells'
+        // DIRECT paragraphs feed the probe — nested-table text doesn't
         var bilingual = false
         if (constantColumnNumber && prevNumCells == 2) {
           var probed = false
           for (row <- rows if !probed) {
-            val c1 = row(0).map(_.text).mkString
-            val c2 = row(1).map(_.text).mkString
+            val c1 = row(0).collect { case ParaElement(e) => e.text }.mkString
+            val c2 = row(1).collect { case ParaElement(e) => e.text }.mkString
             if (c1.trim.nonEmpty && c2.trim.nonEmpty) {
               bilingual = isBilingual(c1, c2)
               probed = true
             }
           }
         }
-        // cell traversal with the CanBeHeader gate (:443-461)
+        // cell traversal with the CanBeHeader gate (:443-461); a nested
+        // table recurses into this same case with its own gating, the
+        // reference's processBodyElement recursion (:446-447)
         for (row <- rows) {
           var cbh: CanBeHeader =
             if (row.size == 1 || bilingual) CanBeHeader.Can
             else CanBeHeader.CanNot
-          for (cell <- row; para <- cell) {
-            processBodyElement(ParaElement(para), st, cbh)
+          for (cell <- row; be <- cell) {
+            processBodyElement(be, st, cbh)
             cbh =
               if (st.isPageBreak) CanBeHeader.Must
               else if (st.isPrevHeader || docAtEntry.paras.isEmpty ||

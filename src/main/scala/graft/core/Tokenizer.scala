@@ -72,7 +72,7 @@ object Tokenizer {
     var pendingTable: ArrayBuffer[Seq[Seq[Element]]] = null
     def flushTable(): Unit = {
       if (pendingTable != null && pendingTable.nonEmpty) {
-        out += TableElement(pendingTable.toSeq)
+        out += TableElement.ofParas(pendingTable.toSeq)
         pendingTable.clear()
       }
     }

@@ -393,9 +393,9 @@ object DocDecode {
     // the fixture dialect already pinned). Word97 predates nested
     // tables, so fInTable/fTtp is the complete table surface here.
     val out = new ArrayBuffer[BodyElement]
-    val tblRows = new ArrayBuffer[Seq[Seq[Element]]]
-    val tblCells = new ArrayBuffer[Seq[Element]]
-    val tblCell = new ArrayBuffer[Element]
+    val tblRows = new ArrayBuffer[Seq[Seq[BodyElement]]]
+    val tblCells = new ArrayBuffer[Seq[BodyElement]]
+    val tblCell = new ArrayBuffer[BodyElement]
     def closeRow(): Unit = {
       if (tblCell.nonEmpty) { tblCells += tblCell.toSeq; tblCell.clear() }
       if (tblCells.nonEmpty) { tblRows += tblCells.toSeq; tblCells.clear() }
@@ -446,7 +446,7 @@ object DocDecode {
         if (props.ttp) closeRow() // row terminator; its text (just the
           // 0x07 mark in well-formed files) carries no content
         else {
-          tblCell += el
+          tblCell += ParaElement(el)
           if (mark == '\u0007') { // cell mark closes the cell
             tblCells += tblCell.toSeq; tblCell.clear()
           }

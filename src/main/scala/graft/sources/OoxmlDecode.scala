@@ -33,12 +33,12 @@ import scala.collection.mutable.ArrayBuffer
   *     CanBeHeader.Must — the `^P` fixture route),
   *   - TOC fields (`w:instrText` matching "PAGEREF _Toc\d+" —
   *     :54,:708-716),
-  *   - tables as rows -> cells -> paragraphs (`w:tbl`/`w:tr`/`w:tc` —
-  *     :404-475). A table nested inside a cell is flattened into the
-  *     cell's paragraph list in document order (its style still joins
-  *     the chain); the reference recurses with per-nested-row header
-  *     gating — a fidelity delta only for tables-in-tables, documented
-  *     here.
+  *   - tables as rows -> cells -> body streams (`w:tbl`/`w:tr`/`w:tc`
+  *     — :404-475), including tables nested inside cells as nested
+  *     [[graft.core.TableElement]]s in document order (style joined to
+  *     the chain), which the segmenter recurses into with their own
+  *     per-table gating — the reference's processBodyElement recursion
+  *     over `cell.getBodyElements()` (:446-447).
   *
   * XLSX: `xl/workbook.xml` + `xl/_rels` + `xl/sharedStrings.xml` +
   * `xl/worksheets/sheetN.xml` -> [[graft.core.SheetTable.Sheet]] (the
@@ -408,19 +408,20 @@ object OoxmlDecode {
       isToc = TocRe.findFirstIn(p.instr.toString).isDefined)
   }
 
-  /** Flatten a cell's bodies into paragraphs in document order; nested
-    * tables contribute their cells' paragraphs with their style joined
-    * to the chain (see the object scaladoc for the fidelity note).
+  /** A cell's bodies in document order: paragraphs as elements, nested
+    * tables as nested [[TableElement]]s (the reference recurses into
+    * them with their own per-table gating, DocumentParser.java:446-447)
+    * with their style joined to the chain (:412-414).
     */
-  private def cellElements(bodies: Seq[RawBody], chain: List[String],
-                           styles: Map[String, StyleDef],
-                           numbering: Numbering, pgW: Long): Seq[Element] =
-    bodies.flatMap {
-      case p: RawPara => Seq(toElement(p, chain, styles, numbering, pgW))
+  private def toBody(body: RawBody, chain: List[String],
+                     styles: Map[String, StyleDef],
+                     numbering: Numbering, pgW: Long): BodyElement =
+    body match {
+      case p: RawPara => ParaElement(toElement(p, chain, styles, numbering, pgW))
       case t: RawTable =>
         val c2 = chain ++ Option(t.style)
-        t.rows.flatMap(_.flatMap(cell =>
-          cellElements(cell.toSeq, c2, styles, numbering, pgW))).toSeq
+        TableElement(t.rows.map(row => row.map(cell =>
+          cell.toSeq.map(toBody(_, c2, styles, numbering, pgW))).toSeq).toSeq)
     }
 
   /** DOCX bytes -> the segmenter's BodyElement stream (S3, real). */
@@ -432,14 +433,7 @@ object OoxmlDecode {
     val doc = entries.getOrElse("word/document.xml",
       throw new IllegalArgumentException("not a DOCX: no word/document.xml"))
     val (raw, pgW) = parseDocument(doc)
-    raw.map {
-      case p: RawPara =>
-        ParaElement(toElement(p, Nil, styles, numbering, pgW))
-      case t: RawTable =>
-        val chain = Option(t.style).toList
-        TableElement(t.rows.map(row => row.map(cell =>
-          cellElements(cell.toSeq, chain, styles, numbering, pgW)).toSeq).toSeq)
-    }
+    raw.map(toBody(_, Nil, styles, numbering, pgW))
   }
 
   /** DOCX bytes -> segmented MultiDoc (the reference's

@@ -38,6 +38,12 @@ object OoxmlSynth {
   /** Table spec: rows -> cells, each cell one plain paragraph. */
   final case class Tbl(rows: Seq[Seq[String]], style: String = null)
     extends Body
+  /** Nested-capable table spec: rows -> cells -> body streams (a cell
+    * may hold paragraphs AND nested Tbl/TblRich in document order —
+    * the `w:tbl`-inside-`w:tc` layout real contracts use).
+    */
+  final case class TblRich(rows: Seq[Seq[Seq[Body]]], style: String = null)
+    extends Body
 
   def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -69,14 +75,22 @@ object OoxmlSynth {
     sb.toString
   }
 
-  private def tblXml(t: Tbl): String = {
+  private def bodyXml(b: Body): String = b match {
+    case p: P => paraXml(p)
+    case t: Tbl =>
+      tblRichXml(TblRich(
+        t.rows.map(_.map(c => Seq(P.plain(c): Body))), t.style))
+    case t: TblRich => tblRichXml(t)
+  }
+
+  private def tblRichXml(t: TblRich): String = {
     val sb = new StringBuilder("<w:tbl>")
     if (t.style != null)
       sb ++= s"""<w:tblPr><w:tblStyle w:val="${t.style}"/></w:tblPr>"""
     for (row <- t.rows) {
       sb ++= "<w:tr>"
       for (cell <- row)
-        sb ++= s"<w:tc>${paraXml(P.plain(cell))}</w:tc>"
+        sb ++= s"<w:tc>${cell.map(bodyXml).mkString}</w:tc>"
       sb ++= "</w:tr>"
     }
     sb ++= "</w:tbl>"
@@ -125,10 +139,7 @@ object OoxmlSynth {
 
   /** Assemble a DOCX from body specs ([[P]] / [[Tbl]]). */
   def docx(bodies: Seq[Body], pageWidthTwips: Long = 12240L): Array[Byte] = {
-    val bodyXml = bodies.map {
-      case p: P => paraXml(p)
-      case t: Tbl => tblXml(t)
-    }.mkString
+    val bodyXml = bodies.map(this.bodyXml).mkString
     val documentXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
       """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +

@@ -34,14 +34,20 @@ import scala.collection.mutable.ArrayBuffer
   * expanded into the object map, §7.5.7 — the packing every post-2006
   * writer uses, without which a modern file has NO visible page tree).
   *
+  * Stream /Filter chains (name or array, §7.4) apply FlateDecode,
+  * ASCIIHexDecode and ASCII85Decode in order; unknown filters
+  * (/DCTDecode image data etc.) keep their raw bytes — inert here,
+  * since only content streams are interpreted as text.
+  *
   * Documented deltas vs PDFBox: fonts without /Widths advance by a
   * fixed 0.5 * fontSize per char; no ToUnicode CMaps (string bytes are
   * decoded as UTF-8, so Identity-H two-byte codes mis-decode); rotated
   * pages (a rotating CTM turns rect fills into bounding boxes) and
-  * non-Flate filters are not implemented. The synthesized q64 corpus
-  * ([[PdfSynth]]) cycles six convention variants (plain, Flate,
-  * cm-scaled, hex-string, /Widths metrics, ObjStm+XRef-stream), so the
-  * decode oracle covers each.
+  * predictor-coded Flate (/DecodeParms /Predictor) are not implemented.
+  * The synthesized q64 corpus ([[PdfSynth]]) cycles seven convention
+  * variants (plain, Flate, cm-scaled, hex-string, /Widths metrics,
+  * ObjStm+XRef-stream, ASCIIHex+Flate filter chain), so the decode
+  * oracle covers each.
   */
 object PdfDecode {
 
@@ -103,12 +109,21 @@ object PdfDecode {
               if (e < 0) dataStart else e
           }
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val data =
-            if (dict.contains("/FlateDecode")) {
-              val d = inflate(raw, inflateBudget)
-              inflateBudget -= d.length
-              d
-            } else raw
+          // /Filter chain: a name or an array, applied in order
+          // (PDF 32000 §7.4). ASCIIHex/ASCII85 strictly shrink, so only
+          // Flate stages draw down the per-file inflation budget.
+          // Unknown filters (/DCTDecode images etc.) keep their bytes
+          // as-is: those streams are never consumed as text downstream,
+          // and throwing would kill whole files over inert objects.
+          var data = raw
+          for (f <- filterNames(dict)) f match {
+            case "/FlateDecode" =>
+              data = inflate(data, inflateBudget)
+              inflateBudget -= data.length
+            case "/ASCIIHexDecode" => data = asciiHexDecode(data)
+            case "/ASCII85Decode" => data = ascii85Decode(data)
+            case _ =>
+          }
           out += num -> Obj(num, dict, Some(data))
         } else {
           out += num -> Obj(num, body, None)
@@ -152,6 +167,87 @@ object PdfDecode {
         else s.length
       Obj(num, s.substring(start, end), None)
     }
+  }
+
+  /** The stream dict's /Filter entry as decode-ordered names: a single
+    * name, or an array `[/A /B]` applied left-to-right (§7.4.1).
+    */
+  private val filterEntryRe = """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val filterNameRe = """/[A-Za-z0-9]+""".r
+  private[sources] def filterNames(dict: String): Seq[String] =
+    filterEntryRe.findFirstMatchIn(dict)
+      .map(m => filterNameRe.findAllIn(m.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    * odd trailing digit padded with 0. Any other char is corruption —
+    * throw so safeDecode turns the file into an attributed error row
+    * rather than silently emitting garbage bytes.
+    */
+  private[sources] def asciiHexDecode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < raw.length && !done) {
+      val c = (raw(i) & 0xFF).toChar
+      val d = Character.digit(c, 16)
+      if (c == '>') done = true
+      else if (d >= 0) {
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      } else require(c == ' ' || c == '\r' || c == '\n' || c == '\t' ||
+        c == '\f' || c == '\u0000',
+        s"ASCIIHexDecode: invalid character 0x${c.toInt.toHexString}")
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` -> 4 bytes base-85
+    * big-endian, `z` -> four zero bytes (group start only), `~>` EOD,
+    * trailing group of n chars padded with `u` emitting n-1 bytes.
+    */
+  private[sources] def ascii85Decode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4 / 5 + 4)
+    var acc = 0L
+    var k = 0
+    var i = 0
+    // optional Adobe `<~` opener
+    if (raw.length >= 2 && raw(0) == '<' && raw(1) == '~') i = 2
+    var done = false
+    def flush(n: Int): Unit = { // n payload chars -> n-1 bytes
+      var a = acc
+      var j = k
+      while (j < 5) { a = a * 85 + 84; j += 1 } // pad with 'u' (84)
+      require(a <= 0xFFFFFFFFL, "ASCII85Decode: group overflows 2^32")
+      var shift = 24
+      var b = 0
+      while (b < n - 1) { out.write(((a >> shift) & 0xFF).toInt); shift -= 8; b += 1 }
+    }
+    while (i < raw.length && !done) {
+      val c = (raw(i) & 0xFF).toChar
+      if (c == '~') { if (k > 0) { require(k != 1,
+        "ASCII85Decode: lone trailing character"); flush(k) }; done = true }
+      else if (c == 'z') { require(k == 0,
+        "ASCII85Decode: z inside a group"); out.write(0); out.write(0)
+        out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        acc = acc * 85 + (c - '!'); k += 1
+        if (k == 5) {
+          require(acc <= 0xFFFFFFFFL, "ASCII85Decode: group overflows 2^32")
+          out.write(((acc >> 24) & 0xFF).toInt); out.write(((acc >> 16) & 0xFF).toInt)
+          out.write(((acc >> 8) & 0xFF).toInt); out.write((acc & 0xFF).toInt)
+          acc = 0L; k = 0
+        }
+      } else require(c == ' ' || c == '\r' || c == '\n' || c == '\t' ||
+        c == '\f' || c == '\u0000',
+        s"ASCII85Decode: invalid character 0x${c.toInt.toHexString}")
+      i += 1
+    }
+    // EOD omitted (truncated file): flush any full prefix the same way
+    if (!done && k > 1) flush(k)
+    out.toByteArray
   }
 
   /** Hard cap on total inflated bytes per FILE — one pathological row

@@ -62,8 +62,22 @@ object PdfSynth {
     * ref-to-array /Widths ([[synthWidth]]) — the simple-font metric
     * convention real-world PDFs use (PDF 32000 §9.6.2).
     */
+  /** Wrap deflated bytes as ASCIIHex text (72-col lines, `>` EOD) —
+    * the /Filter [ /ASCIIHexDecode /FlateDecode ] chain form.
+    */
+  private def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + data.length / 36 + 2)
+    for ((b, i) <- data.zipWithIndex) {
+      sb ++= f"${b & 0xFF}%02X"
+      if (i % 36 == 35) sb += '\n'
+    }
+    sb += '>'
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
   def pdf(pages: Seq[Content], compress: Boolean = false,
-          widths: Boolean = false): Array[Byte] = {
+          widths: Boolean = false,
+          hexChain: Boolean = false): Array[Byte] = {
     val n = pages.size
     // objects: 1 catalog, 2 pages, then per page i: (3+2i) page,
     // (4+2i) content; widths variant appends (3+2n) font, (4+2n) widths
@@ -84,8 +98,12 @@ object PdfSynth {
         s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R " +
           s"/Resources << /Font << $fontRes >> >> >>")
       val raw = c.bytes
-      val data = if (compress) deflate(raw) else raw
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val (data, filter) =
+        if (hexChain)
+          (asciiHexEncode(deflate(raw)),
+            " /Filter [ /ASCIIHexDecode /FlateDecode ]")
+        else if (compress) (deflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
       val head = s"${4 + 2 * i} 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"
       val buf = new ByteArrayOutputStream()
       buf.write(head.getBytes("ISO-8859-1"))
@@ -251,7 +269,8 @@ object PdfSynth {
                      scale: Float = 1f,
                      hexStrings: Boolean = false,
                      widths: Boolean = false,
-                     objStm: Boolean = false): Array[Byte] = {
+                     objStm: Boolean = false,
+                     hexChain: Boolean = false): Array[Byte] = {
     def content = new Content(scale, hexStrings)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
@@ -278,6 +297,6 @@ object PdfSynth {
       "Изменения, произошедшие в списке аффилированных лиц")
 
     if (objStm) pdfObjStm(Seq(p1, p2, p3), widths)
-    else pdf(Seq(p1, p2, p3), compress, widths)
+    else pdf(Seq(p1, p2, p3), compress, widths, hexChain)
   }
 }

@@ -92,15 +92,19 @@ class DocDecodeSpec extends AnyFunSuite {
     val tables = els.collect { case t: TableElement => t }
     assert(tables.size == 1, "one flushed table")
     val rows = tables.head.rows
-    assert(rows.map(_.map(_.map(_.text))) == Seq(
+    def cellTexts(c: Seq[BodyElement]): Seq[String] =
+      c.collect { case ParaElement(e) => e.text }
+    assert(rows.map(_.map(cellTexts)) == Seq(
       Seq(Seq("продавец 3"), Seq("покупатель 3")),
       Seq(Seq("адрес 3", "город 3"), Seq("регион 3")),
       Seq(Seq("APPENDIX 3 TERMS")),
       Seq(Seq("итог 3"), Seq("сумма 3"))))
     // the promoted cell keeps its CHPX bold run; every cell paragraph
     // carries the DOC dialect flag
-    assert(rows(2).head.head.runs.head.bold.contains(true))
-    assert(rows.flatten.flatten.forall(_.docDialect))
+    val cellEls = rows.flatten.flatten.collect { case ParaElement(e) => e }
+    assert(cellEls.find(_.text == "APPENDIX 3 TERMS")
+      .get.runs.head.bold.contains(true))
+    assert(cellEls.forall(_.docDialect))
     // the table sits after the 11 plain paragraphs, nothing trails it
     assert(els.indexWhere(_.isInstanceOf[TableElement]) == 11 &&
       els.size == 12)

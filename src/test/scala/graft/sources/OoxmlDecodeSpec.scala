@@ -71,7 +71,38 @@ class OoxmlDecodeSpec extends AnyFunSuite {
     assert(ps(7).canBeHeader.contains(CanBeHeader.Must), "page break")
     val tbl = els.collect { case t: TableElement => t }.head
     assert(tbl.rows.size == 2 && tbl.rows.head.size == 2)
-    assert(tbl.rows.head.head.head.text == "a1")
+    assert(tbl.rows.head.head.head.asInstanceOf[ParaElement].el.text == "a1")
+  }
+
+  test("nested tables decode as nested TableElements and segment via " +
+    "the reference's recursion (cell body streams, :446-447)") {
+    import OoxmlSynth.TblRich
+    val bytes = OoxmlSynth.docx(Seq(
+      P(Seq("DOC TITLE" -> Some(true))),
+      P.plain("body one"),
+      TblRich(Seq(Seq(Seq(
+        P.plain("intro"),
+        Tbl(Seq(Seq("n1", "n2"), Seq("n3", "n4")), style = "TStyle"),
+        P.plain("outro")))))))
+    val els = OoxmlDecode.docxBodyElements(bytes)
+    val outer = els.collect { case t: TableElement => t }.head
+    val cell = outer.rows.head.head
+    assert(cell.size == 3, "para + nested table + para, in order")
+    val inner = cell(1).asInstanceOf[TableElement]
+    assert(inner.rows.map(_.map(_.collect {
+      case ParaElement(e) => e.text
+    })) == Seq(Seq(Seq("n1"), Seq("n2")), Seq(Seq("n3"), Seq("n4"))))
+    // the nested table's style joins the chain of ITS cell paragraphs
+    assert(inner.rows.head.head.head.asInstanceOf[ParaElement]
+      .el.styleBoldChain.size == 1)
+    // segmentation: the single-cell outer row gates Can, the 2-cell
+    // inner rows gate CanNot -> everything lands in the body
+    val md = OoxmlDecode.decodeDocx(bytes)
+    val paras = md.documents.head.paragraphs
+    assert(paras.size == 1)
+    assert(paras.head.header.text == "DOC TITLE")
+    assert(paras.head.body.text ==
+      "body one\nintro\nn1\nn2\nn3\nn4\noutro")
   }
 
   test("q58 document shape segments to the closed-form expectation") {

@@ -93,6 +93,40 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(plain.lines.head.glyphs(1).x == 105f)
   }
 
+  test("/Filter chains: ASCIIHex+Flate array decodes identically; " +
+    "hex and 85 codecs match their §7.4 vectors") {
+    val plain = PdfDecode.pages(PdfSynth.stakeholderPdf(8))
+    val chained = PdfDecode.pages(PdfSynth.stakeholderPdf(8, hexChain = true))
+    assert(chained == plain,
+      "[/ASCIIHexDecode /FlateDecode] must be invisible at page level")
+    // filter-entry parsing: name form, array form, absent
+    assert(PdfDecode.filterNames("<< /Length 5 /Filter /FlateDecode >>") ==
+      Seq("/FlateDecode"))
+    assert(PdfDecode.filterNames(
+      "<< /Filter [ /ASCIIHexDecode /FlateDecode ] /Length 5 >>") ==
+      Seq("/ASCIIHexDecode", "/FlateDecode"))
+    assert(PdfDecode.filterNames("<< /Length 5 >>").isEmpty)
+    // ASCIIHexDecode: whitespace skipped, > EOD, odd digit pads 0
+    assert(PdfDecode.asciiHexDecode("41 4\n24>".getBytes)
+      .sameElements("AB@".getBytes))
+    assert(PdfDecode.asciiHexDecode("474>anything after EOD is ignored"
+      .getBytes("ISO-8859-1")).sameElements(Array[Byte](0x47, 0x40)))
+    intercept[IllegalArgumentException] {
+      PdfDecode.asciiHexDecode("4G>".getBytes)
+    }
+    // ASCII85Decode: the canonical "sure" vector, z shorthand, EOD
+    assert(new String(PdfDecode.ascii85Decode("F*2M7~>".getBytes), "UTF-8")
+      == "sure")
+    assert(PdfDecode.ascii85Decode("z~>".getBytes)
+      .sameElements(Array[Byte](0, 0, 0, 0)))
+    // partial final group: 3 chars -> 2 bytes ("su")
+    assert(new String(PdfDecode.ascii85Decode("F*2~>".getBytes), "UTF-8")
+      == "su")
+    intercept[IllegalArgumentException] {
+      PdfDecode.ascii85Decode("abzcd~>".getBytes) // z inside a group
+    }
+  }
+
   test("PDF 1.5 object streams: packed page tree + XRef stream file " +
     "decodes identically to the classic-xref form") {
     val classic = PdfDecode.pages(
