@@ -152,29 +152,32 @@ object OoxmlCorpus {
   val nPdf = 10
 
   /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
-    * cycling the seven real-world convention variants — all must decode
+    * cycling the eight real-world convention variants — all must decode
     * to the same 9 stakeholders (one oracle over the union):
-    * w%7==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
+    * w%8==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
     * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
     * decoder recovers the geometry); 3 hex-string `<...>` operands;
     * 4 /FirstChar+/Widths font metrics (per-glyph advances); 5 PDF 1.5
     * object-stream file (/ObjStm + XRef stream) carrying the widths
     * font — only an ObjStm-expanding decoder sees its page tree at all;
     * 6 /Filter [ /ASCIIHexDecode /FlateDecode ] chain (hex-wrapped
-    * deflate — only a chain-applying decoder reads its content).
+    * deflate — only a chain-applying decoder reads its content);
+    * 7 /Rotate 90 landscape (the scanned-filing layout — only a
+    * rotation-normalizing decoder recovers upright geometry).
     */
-  def pdfBytes(w: Int): Array[Byte] = w % 7 match {
+  def pdfBytes(w: Int): Array[Byte] = w % 8 match {
     case 0 => PdfSynth.stakeholderPdf(w, compress = true)
     case 1 => PdfSynth.stakeholderPdf(w)
     case 2 => PdfSynth.stakeholderPdf(w, compress = true, scale = 2f)
     case 3 => PdfSynth.stakeholderPdf(w, hexStrings = true)
     case 4 => PdfSynth.stakeholderPdf(w, compress = true, widths = true)
     case 5 => PdfSynth.stakeholderPdf(w, widths = true, objStm = true)
-    case _ => PdfSynth.stakeholderPdf(w, hexChain = true)
+    case 6 => PdfSynth.stakeholderPdf(w, hexChain = true)
+    case _ => PdfSynth.stakeholderPdf(w, compress = true, rotate90 = true)
   }
 
   def ensurePdf(): String =
-    ensure("/tmp/graft_pdf_corpus_v4", nPdf, "pdf", pdfBytes)
+    ensure("/tmp/graft_pdf_corpus_v5", nPdf, "pdf", pdfBytes)
 
   // ---------- q69: deterministic corrupt corpora ----------
   //
@@ -215,7 +218,7 @@ object OoxmlCorpus {
       (32 + ((i * 31 + j * 7) % 90)).toByte)
 
   def ensureCorruptPdf(): String =
-    ensure("/tmp/graft_badpdf_corpus_v4", nCorrupt, "pdf", corruptPdfBytes)
+    ensure("/tmp/graft_badpdf_corpus_v5", nCorrupt, "pdf", corruptPdfBytes)
   def ensureCorruptCfb(): String =
     ensure("/tmp/graft_badcfb_corpus_v3", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =

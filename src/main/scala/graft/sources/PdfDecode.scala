@@ -39,15 +39,21 @@ import scala.collection.mutable.ArrayBuffer
   * (/DCTDecode image data etc.) keep their raw bytes — inert here,
   * since only content streams are interpreted as text.
   *
+  * Page /Rotate (own or inherited, §7.7.3.4) is normalized into
+  * upright display space by pre-composing the rotation into the
+  * interpreter's initial CTM — scanned-landscape filings decode with
+  * the same geometry as portrait ones (axis-aligned rects stay exact
+  * under quarter-turn rotations; the 4-corner bounding box covers the
+  * general case).
+  *
   * Documented deltas vs PDFBox: fonts without /Widths advance by a
   * fixed 0.5 * fontSize per char; no ToUnicode CMaps (string bytes are
-  * decoded as UTF-8, so Identity-H two-byte codes mis-decode); rotated
-  * pages (a rotating CTM turns rect fills into bounding boxes) and
-  * predictor-coded Flate (/DecodeParms /Predictor) are not implemented.
-  * The synthesized q64 corpus ([[PdfSynth]]) cycles seven convention
+  * decoded as UTF-8, so Identity-H two-byte codes mis-decode);
+  * predictor-coded Flate (/DecodeParms /Predictor) is not implemented.
+  * The synthesized q64 corpus ([[PdfSynth]]) cycles eight convention
   * variants (plain, Flate, cm-scaled, hex-string, /Widths metrics,
-  * ObjStm+XRef-stream, ASCIIHex+Flate filter chain), so the decode
-  * oracle covers each.
+  * ObjStm+XRef-stream, ASCIIHex+Flate filter chain, /Rotate 90
+  * landscape), so the decode oracle covers each.
   */
 object PdfDecode {
 
@@ -384,13 +390,19 @@ object PdfDecode {
       .getOrElse(Nil)
 
   /** One page as the interpreter consumes it: concatenated content
-    * stream + the page's font width tables.
+    * stream, the page's font width tables, its effective (inherited or
+    * own) /Rotate in degrees, and the media box dims — what the
+    * interpreter needs to normalize rotated pages into display space.
     */
   final case class PageData(content: Array[Byte],
-                            fonts: Map[String, FontWidths])
+                            fonts: Map[String, FontWidths],
+                            rotate: Int = 0,
+                            mediaW: Float = 612f,
+                            mediaH: Float = 792f)
 
-  /** Page content (+ per-page fonts) + media box width, in document
-    * order.
+  /** Page content (+ per-page fonts/rotation) + DISPLAY page width (the
+    * media width with /Rotate 90/270 swapping the axes — the width the
+    * geometry kernel sees), in document order.
     */
   def pageData(bytes: Array[Byte]): (Seq[PageData], Float) = {
     val objs = objects(bytes)
@@ -398,30 +410,46 @@ object PdfDecode {
       .getOrElse(throw new IllegalArgumentException("no /Catalog object"))
     val pagesRoot = ref(catalog.dict, "/Pages")
       .getOrElse(throw new IllegalArgumentException("no /Pages in catalog"))
-    var mediaWidth = 612f
+    var displayWidth = 612f
     val contents = new ArrayBuffer[PageData]
+    val mediaBoxRe =
+      """/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)""".r
+    val rotateRe = """/Rotate\s+(-?\d+)""".r
     // visited set: a cyclic /Kids graph in corrupt input must terminate
-    // with a truncated walk, not a StackOverflowError
+    // with a truncated walk, not a StackOverflowError. /MediaBox and
+    // /Rotate are inheritable page-tree attributes (§7.7.3.4) — each
+    // node's own entry overrides the inherited one FOR ITS SUBTREE
+    // only, so they thread down the recursion instead of mutating a
+    // walk-global (a sibling page's /Rotate must not leak sideways).
     val visited = scala.collection.mutable.Set[Int]()
-    def walk(num: Int): Unit = if (visited.add(num)) objs.get(num).foreach { o =>
-      ("""/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)""").r
-        .findFirstMatchIn(o.dict)
-        .foreach(m => mediaWidth = m.group(3).toFloat - m.group(1).toFloat)
-      if (o.dict.contains("/Page") && !o.dict.contains("/Pages")) {
-        val streamRefs = ref(o.dict, "/Contents").toSeq ++
-          refsInArray(o.dict, "/Contents")
-        val data = streamRefs.distinct
-          .flatMap(objs.get).flatMap(_.stream)
-        val content =
-          if (data.nonEmpty) data.reduce(_ ++ Array[Byte]('\n') ++ _)
-          else Array.emptyByteArray
-        contents += PageData(content, fontsOf(o.dict, objs))
-      } else {
-        refsInArray(o.dict, "/Kids").foreach(walk)
+    def walk(num: Int, inhW: Float, inhH: Float, inhRot: Int): Unit =
+      if (visited.add(num)) objs.get(num).foreach { o =>
+        var mediaW = inhW
+        var mediaH = inhH
+        var rotate = inhRot
+        mediaBoxRe.findFirstMatchIn(o.dict).foreach { m =>
+          mediaW = m.group(3).toFloat - m.group(1).toFloat
+          mediaH = m.group(4).toFloat - m.group(2).toFloat
+        }
+        rotateRe.findFirstMatchIn(o.dict)
+          .foreach(m => rotate = ((m.group(1).toInt % 360) + 360) % 360)
+        if (o.dict.contains("/Page") && !o.dict.contains("/Pages")) {
+          val streamRefs = ref(o.dict, "/Contents").toSeq ++
+            refsInArray(o.dict, "/Contents")
+          val data = streamRefs.distinct
+            .flatMap(objs.get).flatMap(_.stream)
+          val content =
+            if (data.nonEmpty) data.reduce(_ ++ Array[Byte]('\n') ++ _)
+            else Array.emptyByteArray
+          displayWidth = if (rotate == 90 || rotate == 270) mediaH else mediaW
+          contents += PageData(content, fontsOf(o.dict, objs),
+            rotate, mediaW, mediaH)
+        } else {
+          refsInArray(o.dict, "/Kids").foreach(walk(_, mediaW, mediaH, rotate))
+        }
       }
-    }
-    walk(pagesRoot)
-    (contents.toSeq, mediaWidth)
+    walk(pagesRoot, 612f, 792f, 0)
+    (contents.toSeq, displayWidth)
   }
 
   /** Page content streams + media box width (fonts dropped). */
@@ -533,7 +561,10 @@ object PdfDecode {
     * without one advances by the 0.5 * fontSize fallback.
     */
   def interpret(content: Array[Byte],
-                fonts: Map[String, FontWidths] = Map.empty): Page = {
+                fonts: Map[String, FontWidths] = Map.empty,
+                rotate: Int = 0,
+                mediaW: Float = 612f,
+                mediaH: Float = 792f): Page = {
     val glyphs = new ArrayBuffer[Glyph]
     val rects = new ArrayBuffer[Rect]
     val pending = new ArrayBuffer[Rect]
@@ -542,11 +573,21 @@ object PdfDecode {
     var fontSize = 12f
     var font: Option[FontWidths] = None
     var leading = 0f
-    // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4),
-    // identity by default; `cm` concatenates, q/Q save/restore. Device
-    // coords = text-space coords through the CTM — the PDFBox position
-    // convention (PdfParser.java:212-216) the geometry kernel expects.
-    var ctm = Array(1f, 0f, 0f, 1f, 0f, 0f)
+    // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4);
+    // `cm` concatenates, q/Q save/restore. Device coords = text-space
+    // coords through the CTM — the PDFBox position convention
+    // (PdfParser.java:212-216) the geometry kernel expects. A page
+    // /Rotate pre-composes the display-normalization rotation into the
+    // initial CTM (PDFBox's rotation handling in its text stripper), so
+    // every emitted glyph/rect is already in upright display space:
+    //   90:  (x,y) -> (y, W - x)    180: (x,y) -> (W - x, H - y)
+    //   270: (x,y) -> (H - y, x)
+    var ctm = rotate match {
+      case 90  => Array(0f, -1f, 1f, 0f, 0f, mediaW)
+      case 180 => Array(-1f, 0f, 0f, -1f, mediaW, mediaH)
+      case 270 => Array(0f, 1f, -1f, 0f, mediaH, 0f)
+      case _   => Array(1f, 0f, 0f, 1f, 0f, 0f)
+    }
     val gsStack = new ArrayBuffer[Array[Float]]
     def txX(x: Float, y: Float): Float = ctm(0) * x + ctm(2) * y + ctm(4)
     def txY(x: Float, y: Float): Float = ctm(1) * x + ctm(3) * y + ctm(5)
@@ -637,7 +678,7 @@ object PdfDecode {
   /** PDF bytes -> kernel pages (S4 + P1, real). */
   def pages(bytes: Array[Byte]): Seq[Page] = {
     val (pd, _) = pageData(bytes)
-    pd.map(p => interpret(p.content, p.fonts))
+    pd.map(p => interpret(p.content, p.fonts, p.rotate, p.mediaW, p.mediaH))
   }
 
   /** One-parse form: pages AND media width from a single object scan —
@@ -647,7 +688,7 @@ object PdfDecode {
     */
   def pagesWithWidth(bytes: Array[Byte]): (Seq[Page], Float) = {
     val (pd, w) = pageData(bytes)
-    (pd.map(p => interpret(p.content, p.fonts)), w)
+    (pd.map(p => interpret(p.content, p.fonts, p.rotate, p.mediaW, p.mediaH)), w)
   }
 
   /** Media width of the first /MediaBox seen (the stakeholder pipeline's

@@ -77,7 +77,8 @@ object PdfSynth {
 
   def pdf(pages: Seq[Content], compress: Boolean = false,
           widths: Boolean = false,
-          hexChain: Boolean = false): Array[Byte] = {
+          hexChain: Boolean = false,
+          rotate90: Boolean = false): Array[Byte] = {
     val n = pages.size
     // objects: 1 catalog, 2 pages, then per page i: (3+2i) page,
     // (4+2i) content; widths variant appends (3+2n) font, (4+2n) widths
@@ -87,17 +88,29 @@ object PdfSynth {
       s"$num 0 obj\n$body\nendobj\n".getBytes("ISO-8859-1")
     objs += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    // rotate90: a landscape 792x612 box displayed upright via
+    // /Rotate 90 on each page — the scanned-filing layout. Content is
+    // authored in display space and wrapped in the inverse rotation
+    // ([0 1 -1 0 792 0]: (dx,dy) -> (792-dy, dx)), so the DISPLAYED
+    // document is byte-for-byte the same geometry as the portrait
+    // variants — only a /Rotate-normalizing decoder recovers it.
     objs += obj(2,
       s"<< /Type /Pages /Kids [ $kids ] /Count $n " +
-        "/MediaBox [ 0 0 612 792 ] >>")
+        (if (rotate90) "/MediaBox [ 0 0 792 612 ] >>"
+         else "/MediaBox [ 0 0 612 792 ] >>"))
     val fontRes =
       if (widths) s"/F1 $fontObjNum 0 R"
       else "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for ((c, i) <- pages.zipWithIndex) {
       objs += obj(3 + 2 * i,
         s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R " +
+          (if (rotate90) "/Rotate 90 " else "") +
           s"/Resources << /Font << $fontRes >> >> >>")
-      val raw = c.bytes
+      val raw =
+        if (rotate90)
+          ("q 0 1 -1 0 792 0 cm\n".getBytes("ISO-8859-1") ++ c.bytes ++
+            "Q\n".getBytes("ISO-8859-1"))
+        else c.bytes
       val (data, filter) =
         if (hexChain)
           (asciiHexEncode(deflate(raw)),
@@ -270,7 +283,8 @@ object PdfSynth {
                      hexStrings: Boolean = false,
                      widths: Boolean = false,
                      objStm: Boolean = false,
-                     hexChain: Boolean = false): Array[Byte] = {
+                     hexChain: Boolean = false,
+                     rotate90: Boolean = false): Array[Byte] = {
     def content = new Content(scale, hexStrings)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
@@ -297,6 +311,6 @@ object PdfSynth {
       "Изменения, произошедшие в списке аффилированных лиц")
 
     if (objStm) pdfObjStm(Seq(p1, p2, p3), widths)
-    else pdf(Seq(p1, p2, p3), compress, widths, hexChain)
+    else pdf(Seq(p1, p2, p3), compress, widths, hexChain, rotate90)
   }
 }

@@ -127,6 +127,26 @@ class PdfDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("/Rotate 90 landscape pages normalize to upright display " +
+    "geometry (identical pages, display width, full pipeline)") {
+    val plain = PdfDecode.pages(PdfSynth.stakeholderPdf(6, compress = true))
+    val rotBytes = PdfSynth.stakeholderPdf(6, compress = true, rotate90 = true)
+    val rotated = PdfDecode.pages(rotBytes)
+    assert(rotated == plain,
+      "/Rotate-normalized geometry must equal the portrait decode")
+    // display width: 792x612 landscape box + /Rotate 90 -> 612 upright
+    assert(PdfDecode.pageWidth(rotBytes) == 612f)
+    val sts = graft.core.PdfTable.parseStakeholderPages(rotated, 612f)
+    assert(sts.size == 9, sts.map(_.name))
+    // quarter-turn corner mapping, straight from the initial-CTM table
+    val r = PdfDecode.interpret(
+      "10 20 30 5 re f\nBT /F1 10 Tf 100 200 Td (A) Tj ET".getBytes("UTF-8"),
+      rotate = 90, mediaW = 792f, mediaH = 612f)
+    assert(r.rects == Seq(graft.core.PdfTable.Rect(20f, 752f, 5f, 30f)))
+    val g = r.lines.head.glyphs.head
+    assert(g.text == "A" && g.x == 200f && g.y == 692f)
+  }
+
   test("PDF 1.5 object streams: packed page tree + XRef stream file " +
     "decodes identically to the classic-xref form") {
     val classic = PdfDecode.pages(
