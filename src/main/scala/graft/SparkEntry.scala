@@ -937,6 +937,27 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    "q77_semdedup" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup —
+      // the corpus-scale form of q24's near-dup question (pairwise work
+      // bounded per IVF cluster instead of corpus-wide LSH banding).
+      // Planted exact copies (+1e6 ids) must all drop: each has its
+      // lower-id original as a cluster-mate at cosine 1 (an exact copy
+      // ties every pivot distance, and the argmin tie-break is pivot
+      // order on both engines). The oracle replays pivot selection,
+      // argmin assignment and the drop rule in SQL, not a closed form.
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val copies = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"), col("label"))
+      val corpus = emb.unionByName(copies)
+      val pivots = operators.Similarity.samplePivots(
+        corpus, "embedding", "vec_id", 16)
+      operators.Similarity.semDedup(corpus, "embedding", "vec_id",
+          pivots, tau = 0.99)
+        .select("vec_id", "label")
+    }),
+
     "q76_remove_contaminated_spans" -> ((s, dir) => {
       // surgical decontamination: docs 20-39 carry a planted benchmark
       // sentence; the operator cuts ONLY its windows (the q41 drop form
@@ -2485,6 +2506,39 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
            FROM counted)""",
+
+    // q77: SemDeDup replayed end-to-end — hash-order pivot selection
+    // (the q46 form over the planted corpus), argmin assignment with
+    // the pivot-order tie-break, then the cluster-scoped drop rule
+    // (lower-id cluster-mate at 6dp-rounded cosine >= tau)
+    "q77_semdedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label
+           FROM embeddings WHERE vec_id < 30
+         ), pivots AS (
+           SELECT v AS pv,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) - 1 AS pidx
+           FROM corpus
+           QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || 'graft-ivf'), vec_id) <= 16
+         ), assign AS (
+           SELECT vec_id, pidx FROM (
+             SELECT c.vec_id, p.pidx,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY 1 - list_cosine_similarity(c.v, p.pv), p.pidx) AS rn
+             FROM corpus c CROSS JOIN pivots p) WHERE rn = 1
+         ), drops AS (
+           SELECT DISTINCT b.vec_id
+           FROM assign a
+           JOIN assign b ON a.pidx = b.pidx AND a.vec_id < b.vec_id
+           JOIN corpus ca ON ca.vec_id = a.vec_id
+           JOIN corpus cb ON cb.vec_id = b.vec_id
+           WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.99
+         )
+         SELECT c.vec_id, c.label FROM corpus c
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM drops)""",
 
     // q76: benchmark windows -> covered positions -> token anti-join ->
     // rebuild (contaminated docs only; clean docs pass through

@@ -357,6 +357,45 @@ object Similarity {
       eligible)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * scoped to embedding clusters. Each vector is assigned to its
+    * nearest pivot ([[listAssign]] — an IVF coarse quantizer; the
+    * paper's k-means centroids are interchangeable via
+    * [[kmeansRefine]]), then a vector is DROPPED when a lower-id
+    * cluster-mate has cosine >= `tau` (rounded to 6dp before the
+    * compare, the cross-engine float discipline of the dedup suite).
+    * Returns `df` minus the drops, all columns intact.
+    *
+    * Scale shape: the cluster scope is what makes this feasible where
+    * corpus-wide all-pairs (q24's LSH path aside) is not — the
+    * self-join shuffles BOTH sides on `list_id` (co-partitioned,
+    * cluster-local pairs only), and the keeper side of each cluster is
+    * capped at its `maxCluster` lowest-id members, bounding per-member
+    * comparisons to O(maxCluster) — a degenerate cluster (collapsed
+    * embeddings, a dead quantizer region) degrades recall against its
+    * tail rather than going quadratic. Pivots are broadcast-sized by
+    * design (nlist ~ sqrt(n); see [[samplePivots]]). Zero vectors are
+    * never dropped (their cosine is null under Spark's null-on-
+    * division-by-zero, and null >= tau filters false).
+    */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               pivots: Array[Array[Double]], tau: Double = 0.95,
+               maxCluster: Int = 1 << 20): DataFrame = {
+    val assigned = ivfIndex(df.select(col(idCol), col(vecCol)), vecCol, pivots)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("list_id").orderBy(col(idCol))
+    val keepers = assigned
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxCluster)
+      .select(col("list_id"), col(idCol).as("_keep_id"),
+        col(vecCol).as("_keep_vec"))
+    val drops = assigned.join(keepers, "list_id")
+      .where(col(idCol) > col("_keep_id") &&
+        round(cosine(col(vecCol), col("_keep_vec")), 6) >= tau)
+      .select(col(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Shared front of the embedding pipeline: collapse -> multi-table
     * sign-pattern keys -> bounded candidate pairs -> exact cosine verify
     * at REPRESENTATIVE level. Returns (collapsed, reps(id, v),

@@ -83,6 +83,42 @@ class IvfSpec extends AnyFunSuite {
     assert(lid == 0)
   }
 
+  test("semDedup drops exact copies inside their cluster, keeps " +
+    "originals and cross-cluster points") {
+    val s = spark
+    import s.implicits._
+    // copies of the first 10 points with higher ids
+    val copies = clustered.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = clustered.unionByName(copies)
+    val pivots = Similarity.samplePivots(corpus, "embedding", "vec_id", 4)
+    val kept = Similarity.semDedup(corpus, "embedding", "vec_id",
+        pivots, tau = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert((0L until 100L).forall(kept.contains), "originals kept")
+    assert((1000L until 1010L).forall(id => !kept.contains(id)),
+      "exact copies dropped")
+  }
+
+  test("semDedup maxCluster caps the keeper side: near-dups of " +
+    "non-keeper members survive (documented recall degradation)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val onePivot = Array(Array(1.0, 1.0)) // everything in one cluster
+    def keptWith(cap: Int): Set[Long] =
+      Similarity.semDedup(df, "embedding", "vec_id", onePivot,
+          tau = 0.99, maxCluster = cap)
+        .select("vec_id").as[Long].collect().toSet
+    // cap 2: keepers {1,2}; 3 duplicates keeper 2 -> dropped
+    assert(keptWith(2) == Set(1L, 2L))
+    // cap 1: keeper {1} only; 3's duplicate (2) is not a keeper -> kept
+    assert(keptWith(1) == Set(1L, 2L, 3L))
+  }
+
   test("int8 quantization: bounded error, cosine preserved, zero-safe") {
     val s = spark
     import s.implicits._
