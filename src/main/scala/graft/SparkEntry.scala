@@ -937,6 +937,23 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    "q78_gopher_rules" -> ((s, dir) => {
+      // Gopher/MassiveText per-document quality rules (arXiv:2112.11446
+      // §A1.1) in one codegen'd projection. Every 5th doc gets planted
+      // line structure (duplicate bullet lines + an ellipsis line) so
+      // the line-level metrics discriminate on this single-line corpus;
+      // the word-count bound (>= 50) discriminates naturally. Ratios
+      // are single int/int IEEE divisions — bit-identical in DuckDB,
+      // no rounding (see gopherFlags scaladoc).
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n• bullet item one\n• bullet item one" +
+            "\n- dash item\nclosing line...")))
+          .otherwise(col("text")).as("text"))
+      operators.Curation.gopherFlags(corpus, "text", "doc_id")
+    }),
+
     "q77_semdedup" -> ((s, dir) => {
       // SemDeDup (arXiv:2303.09540): cluster-scoped semantic dedup —
       // the corpus-scale form of q24's near-dup question (pairwise work
@@ -2506,6 +2523,79 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
            FROM counted)""",
+
+    // q78: the Gopher rules replayed metric-for-metric; every ratio is
+    // one int/int division (bit-identical doubles, no rounding), the
+    // pass flag the same conjunction over them
+    "q78_gopher_rules" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+               '• bullet item one' || chr(10) || '• bullet item one' ||
+               chr(10) || '- dash item' || chr(10) || 'closing line...'
+             ELSE text END AS text
+           FROM documents
+         ), staged AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'),
+               w -> length(w) > 0) AS w,
+             list_filter(string_split(text, chr(10)),
+               l -> length(trim(l)) > 0) AS l
+           FROM corpus
+         ), m AS (
+           SELECT doc_id, text, w, l,
+             len(w) AS n_words, len(l) AS n_lines,
+             coalesce(list_aggregate(list_transform(w, x -> length(x)),
+               'sum'), 0) AS word_chars,
+             coalesce(list_aggregate(list_transform(l, x -> length(x)),
+               'sum'), 0) AS line_chars,
+             coalesce(list_aggregate(list_transform(list_distinct(l),
+               x -> length(x)), 'sum'), 0) AS dist_line_chars,
+             len(list_filter(l, x -> substr(trim(x), 1, 1) = '•'
+               OR substr(trim(x), 1, 1) = '-')) AS bullet_lines,
+             len(list_filter(l, x -> ends_with(trim(x), '...')
+               OR ends_with(trim(x), '…'))) AS ellipsis_lines,
+             len(list_filter(w,
+               x -> regexp_matches(x, '[A-Za-zА-яёЁ]'))) AS alpha_words,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+               sw -> list_contains(list_transform(w, x -> lower(x)), sw)))
+               AS n_stop,
+             (length(text) - length(replace(text, '#', ''))) +
+               (length(text) - length(replace(text, '...', ''))) / 3 +
+               (length(text) - length(replace(text, '…', ''))) AS symbols
+           FROM staged
+         ), r AS (
+           SELECT doc_id,
+             n_words::INT AS n_words,
+             CASE WHEN n_words > 0 THEN word_chars / n_words
+               ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0 THEN symbols / n_words
+               ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN n_lines > 0 THEN bullet_lines / n_lines
+               ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines
+               ELSE 0.0 END AS ellipsis_line_frac,
+             CASE WHEN n_words > 0 THEN alpha_words / n_words
+               ELSE 0.0 END AS alpha_word_frac,
+             n_stop::INT AS n_stop,
+             CASE WHEN n_lines > 0
+               THEN (n_lines - len(list_distinct(l))) / n_lines
+               ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN line_chars > 0
+               THEN (line_chars - dist_line_chars) / line_chars
+               ELSE 0.0 END AS dup_line_char_frac
+           FROM m
+         )
+         SELECT *,
+           (n_words BETWEEN 50 AND 100000 AND
+            mean_word_len BETWEEN 3.0 AND 10.0 AND
+            symbol_ratio <= 0.1 AND
+            bullet_line_frac <= 0.9 AND
+            ellipsis_line_frac <= 0.3 AND
+            alpha_word_frac >= 0.8 AND
+            n_stop >= 2 AND
+            dup_line_frac <= 0.3) AS gopher_pass
+         FROM r""",
 
     // q77: SemDeDup replayed end-to-end — hash-order pivot selection
     // (the q46 form over the planted corpus), argmin assignment with

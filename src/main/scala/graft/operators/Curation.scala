@@ -531,4 +531,90 @@ object Curation {
     struct(piiPatterns.map { case (name, p) =>
       regexp_count(c, lit(p)).as(s"n_${name}s")
     }: _*)
+
+  // ---------- Gopher document-quality rules ----------
+
+  /** The Gopher stopword list (Rae et al. 2021, §A1.1): a document must
+    * contain at least two of these to pass.
+    */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText per-document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) as ONE codegen'd projection — word-count
+    * bounds, mean word length, symbol-to-word ratio (`#` and ellipsis),
+    * bullet-started / ellipsis-ended line fractions, alphabetic-word
+    * fraction, the 2-of-8-stopwords gate, plus the duplicate-line and
+    * duplicate-line-character fractions from the repetition table.
+    * Emits every metric and the conjunct `gopher_pass`. Ratios are
+    * deliberately NOT rounded: every one is a single IEEE division of
+    * exact integers (bit-identical across engines), whereas a 6dp
+    * round re-introduces the cross-engine half-boundary hazard for
+    * denominators like 128 whose expansions terminate at the 7th
+    * digit (Spark BigDecimal HALF_UP vs DuckDB multiply-round).
+    *
+    * Scale shape: a pushable map-side projection over the text column —
+    * no shuffle, no UDF, the whole metric block stays inside
+    * whole-stage codegen. Word/line arrays are materialized once as
+    * attributes (the HOF-lambda re-evaluation trap: attributes are
+    * cheap to reference, trees are not). Tokenization is
+    * whitespace-split (the paper's definition); word matching for the
+    * stopword gate is exact lowercased-token equality, a documented
+    * simplification (no punctuation stripping).
+    */
+  def gopherFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val staged = df.select(col(idCol), t)
+      .withColumn("_w", filter(split(t, "\\s+"), w => length(w) > 0))
+      .withColumn("_lw", transform(col("_w"), w => lower(w)))
+      .withColumn("_l", filter(split(t, "\n"), l => length(trim(l)) > 0))
+      .withColumn("n_words", size(col("_w")))
+      .withColumn("_n_lines", size(col("_l")))
+      .withColumn("_word_chars",
+        aggregate(col("_w"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("_line_chars",
+        aggregate(col("_l"), lit(0L), (a, l) => a + length(l)))
+      .withColumn("_dist_line_chars",
+        aggregate(array_distinct(col("_l")), lit(0L), (a, l) => a + length(l)))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+    val metrics = staged
+      .withColumn("mean_word_len", ratio(col("_word_chars"), col("n_words")))
+      .withColumn("symbol_ratio", ratio(
+        (length(t) - length(replace(t, lit("#"), lit("")))) +
+          (length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+          (length(t) - length(replace(t, lit("…"), lit("")))),
+        col("n_words")))
+      .withColumn("bullet_line_frac", ratio(
+        size(filter(col("_l"),
+          l => substring(trim(l), 1, 1).isin("•", "-"))),
+        col("_n_lines")))
+      .withColumn("ellipsis_line_frac", ratio(
+        size(filter(col("_l"), l =>
+          endswith(trim(l), lit("...")) || endswith(trim(l), lit("…")))),
+        col("_n_lines")))
+      .withColumn("alpha_word_frac", ratio(
+        size(filter(col("_w"), w => w.rlike("[A-Za-zА-яёЁ]"))),
+        col("n_words")))
+      .withColumn("n_stop", size(filter(
+        array(gopherStopwords.map(lit): _*),
+        sw => array_contains(col("_lw"), sw))))
+      .withColumn("dup_line_frac", ratio(
+        col("_n_lines") - size(array_distinct(col("_l"))), col("_n_lines")))
+      .withColumn("dup_line_char_frac", ratio(
+        col("_line_chars") - col("_dist_line_chars"), col("_line_chars")))
+    metrics
+      .withColumn("gopher_pass",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("n_stop") >= 2 &&
+        col("dup_line_frac") <= 0.3)
+      .drop("_w", "_lw", "_l", "_n_lines", "_word_chars", "_line_chars",
+        "_dist_line_chars", textCol)
+  }
 }

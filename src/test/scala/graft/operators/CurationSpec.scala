@@ -14,6 +14,42 @@ class CurationSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("gopherFlags: the §A1.1 metrics on a hand-built document") {
+    // 4 lines: 2 duplicates, one bullet, one ellipsis ending
+    val text = "the words have and that with more body here\n" +
+      "• item line\n• item line\nclosing thought..."
+    val out = Curation.gopherFlags(docs(1L -> text), "text", "doc_id")
+      .collect().head
+    def d(n: String): Double = out.getAs[Double](n)
+    assert(out.getAs[Int]("n_words") == 17)
+    // 9+4+4+15+2+2+3+4+4 + ("item"4+"line"4)*2 + chars... assert via
+    // recomputation instead of a hand sum:
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    assert(d("mean_word_len") ==
+      words.map(_.length).sum.toDouble / words.length)
+    assert(d("bullet_line_frac") == 2.0 / 4.0)
+    assert(d("ellipsis_line_frac") == 1.0 / 4.0)
+    assert(d("dup_line_frac") == 1.0 / 4.0) // one repeated line
+    val lineChars = Seq("the words have and that with more body here",
+      "• item line", "• item line", "closing thought...").map(_.length)
+    assert(d("dup_line_char_frac") ==
+      "• item line".length.toDouble / lineChars.sum)
+    assert(d("alpha_word_frac") == 15.0 / 17.0) // "•" has no letter
+    assert(out.getAs[Int]("n_stop") == 5) // the,have,and,that,with
+    // ellipsis symbols: one "..." occurrence
+    assert(d("symbol_ratio") == 1.0 / 17.0)
+    // fails only the 50-word floor
+    assert(!out.getAs[Boolean]("gopher_pass"))
+    // a 60-word plain-prose doc with stopwords passes everything
+    val good = ("the data and that code have words with more " +
+      ("filler tokens here " * 17)).trim
+    val g = Curation.gopherFlags(docs(2L -> good), "text", "doc_id")
+      .collect().head
+    assert(g.getAs[Int]("n_words") >= 50)
+    assert(g.getAs[Boolean]("gopher_pass"),
+      (g.getValuesMap[Any](g.schema.fieldNames.toSeq)).toString)
+  }
+
   test("decontaminate drops docs sharing a k-shingle with the benchmark") {
     val evalText = "which of the following statements about spark " +
       "catalyst is true given the options below"
