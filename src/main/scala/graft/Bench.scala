@@ -351,7 +351,9 @@ object Bench {
       .foreach(measureOnce) // warm pass, discarded
     val effs = pairs.map { case (n, n4) =>
       val alternations = (1 to 3).flatMap { i =>
-        if (i > 1 && elapsedSec > 475) None // deadline guard
+        if (i > 1 && elapsedSec > 460) None // deadline guard (the query
+          // phase after this grew to ~75 s over 78 queries; 460 keeps
+          // the whole run inside the driver's ~590 s ceiling)
         else {
           val tpN = measureOnce(n)
           val tpN4 = measureOnce(n4)
