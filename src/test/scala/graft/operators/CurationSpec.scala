@@ -50,6 +50,12 @@ class CurationSpec extends AnyFunSuite {
       (g.getValuesMap[Any](g.schema.fieldNames.toSeq)).toString)
   }
 
+  test("gopherFlags is a shuffle-free map-side projection") {
+    val plan = Curation.gopherFlags(docs(1L -> "some text"), "text",
+      "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decontaminate drops docs sharing a k-shingle with the benchmark") {
     val evalText = "which of the following statements about spark " +
       "catalyst is true given the options below"

@@ -100,6 +100,14 @@ class IvfSpec extends AnyFunSuite {
       "exact copies dropped")
   }
 
+  test("semDedup plan: cluster-keyed join, no cartesian product") {
+    val pivots = Similarity.samplePivots(clustered, "embedding", "vec_id", 4)
+    val plan = Similarity.semDedup(clustered, "embedding", "vec_id", pivots)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("list_id"), plan)
+  }
+
   test("semDedup maxCluster caps the keeper side: near-dups of " +
     "non-keeper members survive (documented recall degradation)") {
     val s = spark
