@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two array columns (codegen'd). */
+  /** Native codegen'd dot product in DOUBLE ([[graft.functions.DotProduct]];
+    * the HOF `aggregate(zip_with(...))` form it replaces is interpreted
+    * per call — the r05-measured hot scalar of the similarity tier).
+    * The explicit array<double> cast makes float-array inputs promote
+    * per ELEMENT before multiplying, matching the DuckDB oracles'
+    * `CAST(embedding AS DOUBLE[])` exactly (the old float-typed HOF
+    * multiplied in float first — a ~1e-8 cross-engine gap the 6dp
+    * rounding had to absorb).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dotCol(
+      a.cast("array<double>"), b.cast("array<double>"))
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = {
@@ -125,7 +133,11 @@ object Similarity {
     * computed min is safe because both sides are the same expression.
     */
   def listAssign(vecCol: Column, pivots: Array[Array[Double]]): Column = {
-    val pl = array(pivots.map(p => array(p.map(lit): _*)): _*)
+    // ONE ArrayType literal, not a CreateArray tree of nlist x dim lit()
+    // nodes — at 16x64 the tree form is ~1k expression nodes that every
+    // reference re-analyzes/codegens (measured: q77's wall was ~6s of
+    // driver-side plan work before this, ~1s after)
+    val pl = typedlit(pivots.map(_.toSeq).toSeq)
     // both the vector and the distance array are bound once
     // (Dedup.bindOnce): referencing either tree from inside a lambda /
     // twice at top level would re-run the nlist-pivot cosine scan per
