@@ -415,10 +415,21 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature of a shingle array: sig[i] = min over shingles of
-    * xxhash64(shingle, i). One pass, pure `functions._` (transform +
-    * array_min + hash-with-seed via concat), fully codegen.
+    * xxhash64(shingle, i) — the native codegen'd
+    * [[graft.functions.MinhashSig]] (bit-identical hash values to the
+    * interpreted HOF form [[minhashSignatureHof]] it replaced in r05;
+    * that form cost numHashes x |shingles| boxed closure dispatches per
+    * document, the dominant per-row term of the minhash family).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.MinhashSig.minhashSig(shingles, numHashes)
+
+  /** The pre-r05 higher-order-function form, kept as the executable
+    * parity reference for MinhashSigSpec (interpreted — do not use on
+    * hot paths).
+    */
+  private[graft] def minhashSignatureHof(shingles: Column,
+                                         numHashes: Int): Column =
     bindOnce(shingles, sh =>
       transform(sequence(lit(0), lit(numHashes - 1)), i =>
         coalesce(
