@@ -393,10 +393,20 @@ object Dedup {
   private[operators] def bindOnce(c: Column, f: Column => Column): Column =
     element_at(transform(array(c), v => f(v)), 1)
 
-  /** Word k-shingles of normalized text (pure `functions._`; the token
-    * array is bound once — see [[bindOnce]]).
+  /** Word k-shingles of normalized text — the native codegen'd
+    * [[graft.functions.WordShingles]] (byte-identical shingle strings
+    * to the HOF form [[wordShinglesHof]] it replaced in r05; the
+    * shingle strings feed md5 keys the DuckDB oracles recompute, so
+    * parity is load-bearing).
     */
   def wordShingles(textCol: Column, k: Int): Column =
+    graft.functions.WordShingles.wordShingles(TextStats.normalize(textCol), k)
+
+  /** The pre-r05 higher-order-function form, kept as the executable
+    * parity reference for WordShinglesSpec (interpreted — do not use
+    * on hot paths).
+    */
+  private[graft] def wordShinglesHof(textCol: Column, k: Int): Column =
     bindOnce(split(TextStats.normalize(textCol), " "), tokens =>
       // sliding windows via transform over indexes; empty when < k tokens
       array_distinct(filter(
