@@ -937,6 +937,53 @@ object SparkEntry {
         .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
     }),
 
+    "q79_stream_decode" -> ((s, dir) => {
+      // the q69 totality contract carried onto the STREAMING ingest
+      // path (VERDICT r04 #8): the same corrupt corpora consumed
+      // through a real binaryFile readStream -> decodeStream ->
+      // Trigger.AvailableNow -> foreachBatch appending into a parquet
+      // table — the landing-zone deployment shape. The stream must
+      // TERMINATE with every corrupt file landed as an error ROW
+      // (never a dead stream), and the oracle is q69's closed form
+      // restated over decodeStream's output.
+      val dirs = Seq(
+        graft.sources.OoxmlCorpus.ensureCorruptPdf(),
+        graft.sources.OoxmlCorpus.ensureCorruptCfb(),
+        graft.sources.OoxmlCorpus.ensureCorruptZip(),
+        graft.sources.OoxmlCorpus.ensureGarbage(),
+        graft.sources.OoxmlCorpus.ensureDocx())
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q79_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q79_ckpt").toString
+      // file streaming sources need an explicit schema; binaryFile's is
+      // fixed, so one batch probe of the first dir provides it
+      val schema = s.read.format("binaryFile").load(dirs.head).schema
+      val files = dirs
+        .map(d => s.readStream.format("binaryFile").schema(schema).load(d))
+        .reduce(_ unionByName _)
+      val sink: (DataFrame, Long) => Unit =
+        (batch, _) => batch.write.mode("append").parquet(out)
+      val q = graft.streaming.StreamExtract.decodeStream(files)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+      q.awaitTermination()
+      val seg = element_at(split(col("path"), "/"), -2)
+      s.read.parquet(out).select(
+        when(seg.startsWith("graft_badpdf_corpus"), "bad_pdf")
+          .when(seg.startsWith("graft_badcfb_corpus"), "bad_cfb")
+          .when(seg.startsWith("graft_badzip_corpus"), "bad_zip")
+          .when(seg.startsWith("graft_garbage_corpus"), "garbage")
+          .otherwise("clean").as("kind"),
+        regexp_extract(element_at(split(col("path"), "/"), -1),
+          "doc_(\\d+)", 1).cast("int").as("file_id"),
+        col("format"), col("status"))
+    }),
+
     "q78_gopher_rules" -> ((s, dir) => {
       // Gopher/MassiveText per-document quality rules (arXiv:2112.11446
       // §A1.1) in one codegen'd projection. Every 5th doc gets planted
@@ -2524,6 +2571,17 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
            FROM counted)""",
 
+    // q79: the q69 closed form verbatim — the STREAMING path must land
+    // exactly the rows the batch scan lands (same corpora, same
+    // structural failures; decodeStream adds nothing and loses nothing)
+    "q79_stream_decode" ->
+      """SELECT 'bad_pdf' AS kind, i::INT AS file_id,
+                'pdf' AS format, 'error' AS status FROM range(10) t(i)
+         UNION ALL SELECT 'bad_cfb', i::INT, 'cfb', 'error' FROM range(10) t(i)
+         UNION ALL SELECT 'bad_zip', i::INT, 'zip', 'error' FROM range(10) t(i)
+         UNION ALL SELECT 'garbage', i::INT, 'text', 'ok' FROM range(10) t(i)
+         UNION ALL SELECT 'clean', i::INT, 'docx', 'ok' FROM range(40) t(i)""",
+
     // q78: the Gopher rules replayed metric-for-metric; every ratio is
     // one int/int division (bit-identical doubles, no rounding), the
     // pass flag the same conjunction over them
@@ -2811,14 +2869,14 @@ object SparkEntry {
             + length('АО Дельта ' || w || ' 5')
             + length('АО Дельта ' || w || ' 6')
             + length('ПАО Омега ' || w))::INT
-         FROM range(10) t(w)""",
+         FROM range(11) t(w)""",
 
     // q64: real PDFs; the 9 stakeholders per filing are closed-form —
     // 3 data rows, the cross-page-stitched one, 4 single-reason rows,
     // and the end-of-pages held-row flush (shares kept as the exact
     // BigDecimal strings the share parser produces)
     "q64_pdf_decode" ->
-      """WITH f AS (SELECT i::INT AS file_id FROM range(10) t(i))
+      """WITH f AS (SELECT i::INT AS file_id FROM range(11) t(i))
          SELECT file_id, r::INT AS s_idx,
                 'ООО Компания ' || file_id || ' ' || r AS name,
                 '25.' || r AS share,

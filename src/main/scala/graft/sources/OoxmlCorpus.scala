@@ -149,12 +149,12 @@ object OoxmlCorpus {
   def ensureXls(): String =
     ensure("/tmp/graft_xls_corpus_v3", nXlsx, "xls", xlsBytes)
 
-  val nPdf = 10
+  val nPdf = 11
 
   /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
-    * cycling the eight real-world convention variants — all must decode
-    * to the same 9 stakeholders (one oracle over the union):
-    * w%8==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
+    * cycling the eleven real-world convention variants — all must
+    * decode to the same 9 stakeholders (one oracle over the union):
+    * w%11==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
     * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
     * decoder recovers the geometry); 3 hex-string `<...>` operands;
     * 4 /FirstChar+/Widths font metrics (per-glyph advances); 5 PDF 1.5
@@ -163,9 +163,13 @@ object OoxmlCorpus {
     * 6 /Filter [ /ASCIIHexDecode /FlateDecode ] chain (hex-wrapped
     * deflate — only a chain-applying decoder reads its content);
     * 7 /Rotate 90 landscape (the scanned-filing layout — only a
-    * rotation-normalizing decoder recovers upright geometry).
+    * rotation-normalizing decoder recovers upright geometry);
+    * 8 Predictor-12 (PNG up) coded Flate content; 9 single-byte
+    * /ToUnicode-CMap subset encoding; 10 composite /Type0 /Identity-H
+    * font (two-byte CID codes, /DescendantFonts /W metrics — only a
+    * CID-aware decoder reads any text at all).
     */
-  def pdfBytes(w: Int): Array[Byte] = w % 8 match {
+  def pdfBytes(w: Int): Array[Byte] = w % 11 match {
     case 0 => PdfSynth.stakeholderPdf(w, compress = true)
     case 1 => PdfSynth.stakeholderPdf(w)
     case 2 => PdfSynth.stakeholderPdf(w, compress = true, scale = 2f)
@@ -173,11 +177,14 @@ object OoxmlCorpus {
     case 4 => PdfSynth.stakeholderPdf(w, compress = true, widths = true)
     case 5 => PdfSynth.stakeholderPdf(w, widths = true, objStm = true)
     case 6 => PdfSynth.stakeholderPdf(w, hexChain = true)
-    case _ => PdfSynth.stakeholderPdf(w, compress = true, rotate90 = true)
+    case 7 => PdfSynth.stakeholderPdf(w, compress = true, rotate90 = true)
+    case 8 => PdfSynth.stakeholderPdf(w, predictor = true)
+    case 9 => PdfSynth.stakeholderPdf(w, cmapEncoded = true)
+    case _ => PdfSynth.stakeholderPdf(w, identityH = true)
   }
 
   def ensurePdf(): String =
-    ensure("/tmp/graft_pdf_corpus_v5", nPdf, "pdf", pdfBytes)
+    ensure("/tmp/graft_pdf_corpus_v7", nPdf, "pdf", pdfBytes)
 
   // ---------- q69: deterministic corrupt corpora ----------
   //
@@ -218,7 +225,7 @@ object OoxmlCorpus {
       (32 + ((i * 31 + j * 7) % 90)).toByte)
 
   def ensureCorruptPdf(): String =
-    ensure("/tmp/graft_badpdf_corpus_v5", nCorrupt, "pdf", corruptPdfBytes)
+    ensure("/tmp/graft_badpdf_corpus_v6", nCorrupt, "pdf", corruptPdfBytes)
   def ensureCorruptCfb(): String =
     ensure("/tmp/graft_badcfb_corpus_v3", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =

@@ -445,7 +445,10 @@ object OoxmlDecode {
   // ---------- XLSX ----------
 
   /** sharedStrings.xml: one string per `si` (all `t` text concatenated —
-    * covers plain and rich-run strings).
+    * covers plain and rich-run strings). Phonetic runs (`rPh`, the
+    * furigana hints East-Asian writers embed, ECMA-376 §18.4.6) are
+    * EXCLUDED: their `t` children are pronunciation guides, not cell
+    * text — the same rule POI's `XSSFRichTextString.getString` applies.
     */
   def parseSharedStrings(xml: Option[Array[Byte]]): IndexedSeq[String] = {
     if (xml.isEmpty) return Vector.empty
@@ -453,12 +456,14 @@ object OoxmlDecode {
     val r = reader(xml.get)
     var cur: java.lang.StringBuilder = null
     var capture = false
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => cur = new java.lang.StringBuilder
-            case "t" if cur != null => capture = true
+            case "rPh" => inRPh = true
+            case "t" if cur != null && !inRPh => capture = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -466,6 +471,7 @@ object OoxmlDecode {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => capture = false
+            case "rPh" => inRPh = false
             case "si" => out += cur.toString; cur = null
             case _ =>
           }

@@ -46,14 +46,31 @@ import scala.collection.mutable.ArrayBuffer
   * under quarter-turn rotations; the 4-corner bounding box covers the
   * general case).
   *
-  * Documented deltas vs PDFBox: fonts without /Widths advance by a
-  * fixed 0.5 * fontSize per char; no ToUnicode CMaps (string bytes are
-  * decoded as UTF-8, so Identity-H two-byte codes mis-decode);
-  * predictor-coded Flate (/DecodeParms /Predictor) is not implemented.
-  * The synthesized q64 corpus ([[PdfSynth]]) cycles eight convention
+  * Predictor-coded Flate (/DecodeParms /Predictor, §7.4.4.4) is
+  * reversed after inflation — TIFF horizontal differencing and the
+  * full PNG row-filter family (the /Predictor 12 coding virtually
+  * every real-world XRef stream carries), with /DecodeParms parsed as
+  * a single dict or a /Filter-aligned array.
+  *
+  * /ToUnicode CMaps (§9.10.3) are honored: when a font carries one,
+  * string bytes are font codes mapped through the CMap's bfchar/bfrange
+  * entries — the embedded-subset custom-encoding convention (the way
+  * real-world generators encode Cyrillic), where a raw UTF-8 decode
+  * would produce mojibake. Both font classes are covered: simple fonts
+  * (single-byte codes) and composite /Type0 /Identity-H fonts (§9.7.4:
+  * TWO-byte big-endian CID codes, /DescendantFonts /W + /DW glyph
+  * metrics) — the encoding virtually every CJK and most modern-
+  * generator PDFs use.
+  *
+  * Documented deltas vs PDFBox: fonts without /Widths (or /W) advance
+  * by a fixed 0.5 * fontSize per char; non-Identity CID encodings
+  * (predefined CMaps like /UniGB-UCS2-H, §9.7.5.2) are not decoded —
+  * code bytes follow Identity-H's fixed two-byte convention only.
+  * The synthesized q64 corpus ([[PdfSynth]]) cycles eleven convention
   * variants (plain, Flate, cm-scaled, hex-string, /Widths metrics,
   * ObjStm+XRef-stream, ASCIIHex+Flate filter chain, /Rotate 90
-  * landscape), so the decode oracle covers each.
+  * landscape, Predictor-12 Flate, ToUnicode-CMap custom encoding,
+  * Identity-H two-byte CIDs), so the decode oracle covers each.
   */
 object PdfDecode {
 
@@ -122,10 +139,13 @@ object PdfDecode {
           // as-is: those streams are never consumed as text downstream,
           // and throwing would kill whole files over inert objects.
           var data = raw
-          for (f <- filterNames(dict)) f match {
+          val filters = filterNames(dict)
+          val parms = decodeParms(dict, filters.size)
+          for ((f, p) <- filters.zip(parms)) f match {
             case "/FlateDecode" =>
               data = inflate(data, inflateBudget)
               inflateBudget -= data.length
+              data = unpredict(data, p)
             case "/ASCIIHexDecode" => data = asciiHexDecode(data)
             case "/ASCII85Decode" => data = ascii85Decode(data)
             case _ =>
@@ -184,6 +204,125 @@ object PdfDecode {
     filterEntryRe.findFirstMatchIn(dict)
       .map(m => filterNameRe.findAllIn(m.group(1)).toSeq)
       .getOrElse(Nil)
+
+  /** Per-filter /DecodeParms (or its /DP abbreviation, §7.3.8.2): a
+    * single dict, or an array of dict|null aligned with the /Filter
+    * array. Only the predictor fields are read — (Predictor, Colors,
+    * BitsPerComponent, Columns) with their §7.4.4.4 defaults.
+    */
+  private[sources] final case class PredictorParms(predictor: Int,
+      colors: Int, bpc: Int, columns: Int)
+  private val noParms = PredictorParms(1, 1, 8, 1)
+  private def parseParmsDict(d: String): PredictorParms = {
+    def num(key: String, dflt: Int): Int =
+      (key + """\s+(\d+)""").r.findFirstMatchIn(d)
+        .flatMap(_.group(1).toIntOption).getOrElse(dflt)
+    PredictorParms(num("/Predictor", 1), num("/Colors", 1),
+      num("/BitsPerComponent", 8), num("/Columns", 1))
+  }
+  private[sources] def decodeParms(dict: String,
+                                   nFilters: Int): Seq[PredictorParms] = {
+    val at = "/DecodeParms\\b|/DP\\b".r.findFirstMatchIn(dict).map(_.end)
+    if (at.isEmpty) return Seq.fill(nFilters)(noParms)
+    var i = at.get
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    // a balanced << >> slice starting at i (nested dicts included)
+    def dictAt(j0: Int): (String, Int) = {
+      var j = j0 + 2
+      var depth = 1
+      while (j < dict.length && depth > 0) {
+        if (dict.startsWith("<<", j)) { depth += 1; j += 2 }
+        else if (dict.startsWith(">>", j)) { depth -= 1; j += 2 }
+        else j += 1
+      }
+      (dict.substring(j0, j), j)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[PredictorParms]()
+    if (dict.startsWith("<<", i)) out += parseParmsDict(dictAt(i)._1)
+    else if (i < dict.length && dict.charAt(i) == '[') {
+      var j = i + 1
+      while (j < dict.length && dict.charAt(j) != ']' &&
+          out.size < nFilters) {
+        if (dict.startsWith("<<", j)) {
+          val (d, j2) = dictAt(j)
+          out += parseParmsDict(d)
+          j = j2
+        } else if (dict.startsWith("null", j)) { out += noParms; j += 4 }
+        else j += 1
+      }
+    }
+    out.toSeq.padTo(nFilters, noParms)
+  }
+
+  /** Reverse predictor coding (§7.4.4.4): TIFF Predictor 2 horizontal
+    * differencing, and the PNG per-row filters (predictor >= 10: one
+    * tag byte per row, None/Sub/Up/Average/Paeth — RFC 2083 §6). XRef
+    * streams in virtually every real-world PDF 1.5 file are
+    * /Predictor 12 coded; a partial final row is processed to its
+    * actual length (symmetric with how it was cut).
+    */
+  private[sources] def unpredict(data: Array[Byte],
+                                 p: PredictorParms): Array[Byte] = {
+    if (p.predictor <= 1) return data
+    val bpp = math.max(1, p.colors * p.bpc / 8)
+    val rowBytes = math.max(1,
+      (p.columns * p.colors * p.bpc + 7) / 8)
+    if (p.predictor == 2) {
+      // TIFF: component-wise cumulative sum within each row (8-bit path;
+      // sub-byte components are vanishingly rare and pass through)
+      if (p.bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        val end = math.min(r + rowBytes, out.length)
+        var i = r + bpp
+        while (i < end) {
+          out(i) = ((out(i) + out(i - bpp)) & 0xFF).toByte
+          i += 1
+        }
+        r += rowBytes
+      }
+      return out
+    }
+    // PNG family: rows of (tag + rowBytes)
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prev = new Array[Int](rowBytes) // previous decoded row, 0-init
+    val cur = new Array[Int](rowBytes)
+    var i = 0
+    while (i < data.length) {
+      val tag = data(i) & 0xFF
+      i += 1
+      val len = math.min(rowBytes, data.length - i)
+      var c = 0
+      while (c < len) {
+        val x = data(i + c) & 0xFF
+        val a = if (c >= bpp) cur(c - bpp) else 0
+        val b = prev(c)
+        val cc = if (c >= bpp) prev(c - bpp) else 0
+        cur(c) = tag match {
+          case 0 => x
+          case 1 => (x + a) & 0xFF
+          case 2 => (x + b) & 0xFF
+          case 3 => (x + (a + b) / 2) & 0xFF
+          case 4 =>
+            val pp = a + b - cc
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - cc)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) b else cc
+            (x + pred) & 0xFF
+          case _ => x // unknown tag: corrupt row, pass bytes through
+        }
+        c += 1
+      }
+      var k = 0
+      while (k < len) { out.write(cur(k)); k += 1 }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      i += len
+    }
+    out.toByteArray
+  }
 
   /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` EOD,
     * odd trailing digit padded with 0. Any other char is corruption —
@@ -314,6 +453,87 @@ object PdfDecode {
     }
   }
 
+  /** One page font as the interpreter consumes it: optional /Widths
+    * metric table and optional /ToUnicode CMap (code -> unicode text).
+    * Either half may be absent — a widths-only font advances by metrics
+    * and decodes string bytes as UTF-8; a CMap-only font maps each
+    * single-byte code through the CMap and advances by the fallback.
+    *
+    * `twoByte` marks a composite /Type0 /Identity-H font (§9.7.4):
+    * string bytes are TWO-byte big-endian CID codes, advanced by the
+    * descendant font's /W table (`cidWidths`, 1000-unit glyph space)
+    * with /DW as the per-font default (§9.7.4.3; spec default 1000).
+    */
+  final case class FontInfo(widths: Option[FontWidths],
+                            toUnicode: Option[Map[Int, String]],
+                            twoByte: Boolean = false,
+                            cidWidths: Map[Int, Float] = Map.empty,
+                            defaultWidth: Float = 1000f)
+
+  /** Parse a /ToUnicode CMap stream (PDF 32000 §9.10.3): `bfchar`
+    * blocks map `<src> <dst>` pairs, `bfrange` blocks map
+    * `<lo> <hi> <dstLo>` (last UTF-16 code unit incremented through the
+    * range) or `<lo> <hi> [<d0> <d1> ...]` per-code arrays. Simple-font
+    * scope: source codes are single-byte (multi-byte CID codes are the
+    * documented Identity-H delta). Destinations are UTF-16BE hex —
+    * surrogate pairs pass through as their two code units.
+    */
+  private val bfcharRe =
+    """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val bfrangeRe =
+    ("""<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*""" +
+      """(?:\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]|<([0-9A-Fa-f]+)>)""").r
+  private[sources] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
+    val s = new String(data, "ISO-8859-1")
+    val out = Map.newBuilder[Int, String]
+    def utf16(hex: String): String = {
+      val n = hex.length / 4 * 4
+      val cs = new Array[Char](n / 4)
+      var i = 0
+      while (i < n) {
+        cs(i / 4) = Integer.parseInt(hex.substring(i, i + 4), 16).toChar
+        i += 4
+      }
+      new String(cs)
+    }
+    def blocks(begin: String, end: String): Iterator[String] = {
+      Iterator.unfold(0) { from =>
+        val b = s.indexOf(begin, from)
+        if (b < 0) None
+        else {
+          val e = s.indexOf(end, b)
+          if (e < 0) None
+          else Some((s.substring(b + begin.length, e), e + end.length))
+        }
+      }
+    }
+    for (block <- blocks("beginbfchar", "endbfchar");
+         m <- bfcharRe.findAllMatchIn(block))
+      out += Integer.parseInt(m.group(1), 16) -> utf16(m.group(2))
+    for (block <- blocks("beginbfrange", "endbfrange");
+         m <- bfrangeRe.findAllMatchIn(block)) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      if (hi >= lo && hi - lo < 0x10000) {
+        if (m.group(3) != null) {
+          val dsts = """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(m.group(3))
+            .map(_.group(1)).toSeq
+          for ((d, k) <- dsts.zipWithIndex if lo + k <= hi)
+            out += (lo + k) -> utf16(d)
+        } else {
+          val base = utf16(m.group(4))
+          for (k <- 0 to hi - lo) {
+            val cs = base.toCharArray
+            if (cs.nonEmpty)
+              cs(cs.length - 1) = (cs(cs.length - 1) + k).toChar
+            out += (lo + k) -> new String(cs)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** The balanced `<< ... >>` slice starting at the first `<<` at or
     * after `from` (nested dicts handled; None when unbalanced).
     */
@@ -358,12 +578,98 @@ object PdfDecode {
     }
   }
 
-  /** Resource-name -> widths for one page's /Resources /Font dict
-    * (inline or indirect resources; fonts referenced indirectly —
-    * inline font dicts without /Widths simply keep the fallback).
+  /** Parse a CID /W array (§9.7.4.3): a sequence of either
+    * `c [w1 w2 ... wn]` (consecutive CIDs from c) or `cFirst cLast w`
+    * (a constant-width range) entries, freely mixed. The array may be
+    * inline in the descendant dict or an indirect object. Ranges are
+    * clamped to 64k entries — a corrupt `0 16777215 500` range must not
+    * materialize a 16M-entry map.
     */
+  private[sources] def parseCidWidths(src: String): Map[Int, Float] = {
+    val out = Map.newBuilder[Int, Float]
+    val tok = """\[|\]|[-\d.]+""".r.findAllIn(src).toArray
+    var i = 0
+    def numAt(j: Int): Option[Float] =
+      if (j < tok.length) tok(j).toFloatOption else None
+    while (i < tok.length) {
+      (numAt(i), if (i + 1 < tok.length) tok(i + 1) else "") match {
+        case (Some(c), "[") =>
+          var j = i + 2
+          var cid = c.toInt
+          while (j < tok.length && tok(j) != "]") {
+            numAt(j).foreach { w => out += cid -> w; cid += 1 }
+            j += 1
+          }
+          i = j + 1
+        case (Some(c0), _) =>
+          (numAt(i + 1), numAt(i + 2)) match {
+            case (Some(c1), Some(w)) if c1 >= c0 =>
+              val last = math.min(c1.toInt, c0.toInt + 0xFFFF)
+              var cid = c0.toInt
+              while (cid <= last) { out += cid -> w; cid += 1 }
+              i += 3
+            case _ => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Composite-font half of a /Type0 /Identity-H dict: follows
+    * /DescendantFonts to the CIDFont and reads its /W + /DW metrics.
+    * Only Identity-H/V byte-to-CID conventions are handled (two fixed
+    * bytes per code) — a predefined /Encoding CMap name leaves the font
+    * on the simple-font path (documented delta).
+    */
+  private def cidFontOf(fontDict: String, objs: Map[Int, Obj])
+      : Option[(Map[Int, Float], Float)] = {
+    if (!fontDict.contains("/Type0") ||
+        !"""(?s)/Encoding\s*/Identity-[HV]""".r
+          .findFirstIn(fontDict).isDefined) return None
+    val desc = refsInArray(fontDict, "/DescendantFonts").headOption
+      .flatMap(objs.get).map(_.dict)
+    val dw = desc.flatMap(d => """(?s)/DW\s+([-\d.]+)""".r
+      .findFirstMatchIn(d).flatMap(_.group(1).toFloatOption))
+      .getOrElse(1000f)
+    val w = desc.flatMap { d =>
+      val at = d.indexOf("/W")
+      // /W must be its own name token — not the /Widths prefix
+      if (at < 0 || (at + 2 < d.length && d.charAt(at + 2).isLetter)) None
+      else {
+        val tail = d.substring(at + 2)
+        bareRefRe.findFirstMatchIn(tail) match {
+          case Some(m) => objs.get(m.group(1).toInt).map(_.dict)
+          case None =>
+            val lb = tail.indexOf('[')
+            val rb = if (lb < 0) -1 else {
+              // the matching close of a possibly-nested array
+              var depth = 0; var j = lb; var end = -1
+              while (j < tail.length && end < 0) {
+                if (tail.charAt(j) == '[') depth += 1
+                else if (tail.charAt(j) == ']') {
+                  depth -= 1; if (depth == 0) end = j
+                }
+                j += 1
+              }
+              end
+            }
+            if (rb < 0) None else Some(tail.substring(lb, rb + 1))
+        }
+      }
+    }.map(parseCidWidths).getOrElse(Map.empty)
+    Some((w, dw))
+  }
+
+  /** Resource-name -> font info for one page's /Resources /Font dict
+    * (inline or indirect resources; fonts referenced indirectly —
+    * inline font dicts without /Widths simply keep the fallback). A
+    * font contributes an entry when it carries /Widths metrics, a
+    * /ToUnicode CMap, or both.
+    */
+  private val toUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private def fontsOf(pageDict: String,
-                      objs: Map[Int, Obj]): Map[String, FontWidths] = {
+                      objs: Map[Int, Obj]): Map[String, FontInfo] = {
     val at = pageDict.indexOf("/Resources")
     if (at < 0) return Map.empty
     val resDict = bareRefRe
@@ -376,9 +682,18 @@ object PdfDecode {
       if (fAt < 0) Nil
       else dictAt(res, fAt).toSeq.flatMap { fd =>
         """/([\w.]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fd).flatMap { m =>
-          objs.get(m.group(2).toInt)
-            .flatMap(o => fontWidths(o.dict, objs))
-            .map(m.group(1) -> _)
+          objs.get(m.group(2).toInt).flatMap { o =>
+            val w = fontWidths(o.dict, objs)
+            val tu = toUnicodeRe.findFirstMatchIn(o.dict)
+              .flatMap(r => objs.get(r.group(1).toInt))
+              .flatMap(_.stream).map(parseToUnicode).filter(_.nonEmpty)
+            val cid = cidFontOf(o.dict, objs)
+            if (w.isEmpty && tu.isEmpty && cid.isEmpty) None
+            else Some(m.group(1) -> FontInfo(w, tu,
+              twoByte = cid.isDefined,
+              cidWidths = cid.map(_._1).getOrElse(Map.empty),
+              defaultWidth = cid.map(_._2).getOrElse(1000f)))
+          }
         }
       }
     }.toMap
@@ -395,7 +710,7 @@ object PdfDecode {
     * interpreter needs to normalize rotated pages into display space.
     */
   final case class PageData(content: Array[Byte],
-                            fonts: Map[String, FontWidths],
+                            fonts: Map[String, FontInfo],
                             rotate: Int = 0,
                             mediaW: Float = 612f,
                             mediaH: Float = 792f)
@@ -561,7 +876,7 @@ object PdfDecode {
     * without one advances by the 0.5 * fontSize fallback.
     */
   def interpret(content: Array[Byte],
-                fonts: Map[String, FontWidths] = Map.empty,
+                fonts: Map[String, FontInfo] = Map.empty,
                 rotate: Int = 0,
                 mediaW: Float = 612f,
                 mediaH: Float = 792f): Page = {
@@ -571,7 +886,7 @@ object PdfDecode {
     val stack = new ArrayBuffer[Tok]
     var lineX, lineY, curX, curY = 0f
     var fontSize = 12f
-    var font: Option[FontWidths] = None
+    var font: Option[FontInfo] = None
     var leading = 0f
     // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4);
     // `cm` concatenates, q/Q save/restore. Device coords = text-space
@@ -595,14 +910,46 @@ object PdfDecode {
       case TNum(v) => v
       case _ => 0f
     }
-    def show(bytes: Array[Byte]): Unit = {
-      val s = new String(bytes, "UTF-8")
-      for (ch <- s) {
-        glyphs += Glyph(txX(curX, curY), txY(curX, curY), ch.toString)
-        curX += (font match {
-          case Some(f) => f.advance(ch.toInt, fontSize)
-          case None => fontSize * 0.5f
-        })
+    def advance(code: Int): Float = font.flatMap(_.widths) match {
+      case Some(w) => w.advance(code, fontSize)
+      case None => fontSize * 0.5f
+    }
+    def show(bytes: Array[Byte]): Unit = font match {
+      case Some(f) if f.twoByte =>
+        // Identity-H composite font (§9.7.4): big-endian TWO-byte CID
+        // codes mapped through /ToUnicode, advanced by /W (else /DW).
+        // A trailing lone byte (truncated string) is dropped; unmapped
+        // CIDs fall back to their code-point identity so corrupt CMaps
+        // degrade, not crash.
+        val cmap = f.toUnicode.getOrElse(Map.empty[Int, String])
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+          val txt = cmap.getOrElse(code, code.toChar.toString)
+          glyphs += Glyph(txX(curX, curY), txY(curX, curY), txt)
+          curX += f.cidWidths.getOrElse(code, f.defaultWidth) / 1000f *
+            fontSize
+          i += 2
+        }
+      case _ => font.flatMap(_.toUnicode) match {
+        case Some(cmap) =>
+          // embedded-subset convention: string bytes are single-byte
+          // font CODES, each mapped to unicode text through the
+          // /ToUnicode CMap (PDFBox's getUnicode path); unmapped codes
+          // fall back to their Latin-1 identity so corrupt CMaps
+          // degrade, not crash
+          for (b <- bytes) {
+            val code = b & 0xFF
+            val txt = cmap.getOrElse(code, code.toChar.toString)
+            glyphs += Glyph(txX(curX, curY), txY(curX, curY), txt)
+            curX += advance(code)
+          }
+        case None =>
+          val s = new String(bytes, "UTF-8")
+          for (ch <- s) {
+            glyphs += Glyph(txX(curX, curY), txY(curX, curY), ch.toString)
+            curX += advance(ch.toInt)
+          }
       }
     }
     for (tok <- tokenize(content)) tok match {

@@ -20,12 +20,45 @@ object PdfSynth {
     * (the r05 real-world convention gate). `hexStrings` emits text
     * operands as hex `<...>` strings instead of literal `(...)`.
     */
-  final class Content(scale: Float = 1f, hexStrings: Boolean = false) {
+  /** Shared single-byte code table for the ToUnicode-CMap variant: the
+    * embedded-subset convention — ASCII 32..126 keeps its identity
+    * code, every other char gets the next code from 128 up, in first-use
+    * order (deterministic given deterministic content). The table is
+    * shared across a document's pages, matching the one shared /F1.
+    */
+  final class CmapCodes(val wide: Boolean = false) {
+    private val assigned =
+      scala.collection.mutable.LinkedHashMap[Char, Int]()
+    def code(ch: Char): Int =
+      if (!wide && ch >= 32 && ch < 127) ch.toInt
+      else {
+        // wide (Identity-H subset) fonts remap EVERYTHING — CIDs are
+        // glyph indexes assigned in first-use order from 1, the way a
+        // subsetting generator numbers the glyphs it keeps; ASCII gets
+        // no identity escape, so a UTF-8/Latin-1 decode is pure noise
+        require(assigned.size < (if (wide) 0xFFFF else 128),
+          "code space exhausted")
+        assigned.getOrElseUpdate(ch,
+          (if (wide) 1 else 128) + assigned.size)
+      }
+    def hex(ch: Char): String =
+      if (wide) f"${code(ch)}%04X" else f"${code(ch)}%02X"
+    /** (code, char) pairs for the assigned codes, assignment order. */
+    def entries: Seq[(Int, Char)] = assigned.toSeq.map(_.swap)
+  }
+
+  final class Content(scale: Float = 1f, hexStrings: Boolean = false,
+                      cmap: CmapCodes = null) {
     private val sb = new StringBuilder
     private def fmt(v: Float): String = f"${v / scale}%.1f"
     def text(x: Float, y: Float, size: Float, s: String): Content = {
       val op =
-        if (hexStrings)
+        if (cmap != null)
+          // font-code bytes, not UTF-8: only a CMap-driven decoder
+          // recovers the text (hex form sidesteps literal escaping);
+          // wide cmaps emit two-byte Identity-H CID codes
+          "<" + s.map(cmap.hex).mkString + ">"
+        else if (hexStrings)
           "<" + s.getBytes("UTF-8").map(b => f"${b & 0xFF}%02X").mkString + ">"
         else
           "(" + s.replace("\\", "\\\\").replace("(", "\\(")
@@ -75,10 +108,36 @@ object PdfSynth {
     sb.toString.getBytes("ISO-8859-1")
   }
 
+  /** PNG Up-filter predictor coding (§7.4.4.4 Predictor 12): rows of
+    * `columns` bytes, each prefixed with tag 2 and stored as the delta
+    * vs the previous row; the final partial row keeps its real length
+    * (symmetric with PdfDecode.unpredict). Bytes grow by 1 per row.
+    */
+  private def pngPredictUp(raw: Array[Byte], columns: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(raw.length + raw.length / columns + 2)
+    val prev = new Array[Int](columns)
+    var i = 0
+    while (i < raw.length) {
+      val len = math.min(columns, raw.length - i)
+      out.write(2) // Up
+      var c = 0
+      while (c < len) {
+        val x = raw(i + c) & 0xFF
+        out.write((x - prev(c)) & 0xFF)
+        prev(c) = x
+        c += 1
+      }
+      i += len
+    }
+    out.toByteArray
+  }
+
   def pdf(pages: Seq[Content], compress: Boolean = false,
           widths: Boolean = false,
           hexChain: Boolean = false,
-          rotate90: Boolean = false): Array[Byte] = {
+          rotate90: Boolean = false,
+          predictor: Boolean = false,
+          cmapEnc: CmapCodes = null): Array[Byte] = {
     val n = pages.size
     // objects: 1 catalog, 2 pages, then per page i: (3+2i) page,
     // (4+2i) content; widths variant appends (3+2n) font, (4+2n) widths
@@ -99,7 +158,7 @@ object PdfSynth {
         (if (rotate90) "/MediaBox [ 0 0 792 612 ] >>"
          else "/MediaBox [ 0 0 612 792 ] >>"))
     val fontRes =
-      if (widths) s"/F1 $fontObjNum 0 R"
+      if (widths || cmapEnc != null) s"/F1 $fontObjNum 0 R"
       else "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for ((c, i) <- pages.zipWithIndex) {
       objs += obj(3 + 2 * i,
@@ -112,7 +171,15 @@ object PdfSynth {
             "Q\n".getBytes("ISO-8859-1"))
         else c.bytes
       val (data, filter) =
-        if (hexChain)
+        if (predictor)
+          // Predictor-12-coded Flate content: the /DecodeParms
+          // convention XRef streams carry in virtually every real
+          // PDF 1.5 file, applied here to a content stream so the
+          // decode path is exercised end-to-end
+          (deflate(pngPredictUp(raw, 24)),
+            " /Filter /FlateDecode /DecodeParms " +
+              "<< /Predictor 12 /Columns 24 >>")
+        else if (hexChain)
           (asciiHexEncode(deflate(raw)),
             " /Filter [ /ASCIIHexDecode /FlateDecode ]")
         else if (compress) (deflate(raw), " /Filter /FlateDecode")
@@ -130,6 +197,69 @@ object PdfSynth {
           s"/FirstChar 32 /LastChar 126 /Widths ${fontObjNum + 1} 0 R >>")
       objs += obj(fontObjNum + 1,
         (32 to 126).map(synthWidth).mkString("[ ", " ", " ]"))
+    } else if (cmapEnc != null && cmapEnc.wide) {
+      // composite Identity-H font (§9.7.4): /Type0 -> CIDFontType2
+      // descendant carrying /W + /DW glyph metrics, /ToUnicode CMap
+      // over two-byte CID codes. /W exercises BOTH §9.7.4.3 entry
+      // forms — a consecutive `c [w..]` block and a `cFirst cLast w`
+      // range — with every width 500 (= the 0.5*size fallback) so the
+      // displayed geometry is byte-for-byte the other variants'.
+      objs += obj(fontObjNum,
+        "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          "/Encoding /Identity-H " +
+          s"/DescendantFonts [ ${fontObjNum + 1} 0 R ] " +
+          s"/ToUnicode ${fontObjNum + 2} 0 R >>")
+      val maxCid = cmapEnc.entries.map(_._1).max
+      val wTail = if (maxCid >= 4) s" 4 $maxCid 500" else ""
+      objs += obj(fontObjNum + 1,
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+          "/Supplement 0 >> /DW 500 " +
+          s"/W [ 1 [ 500 500 500 ]$wTail ] >>")
+      val bfBlocks = cmapEnc.entries.grouped(100).map { grp =>
+        val lines = grp
+          .map { case (code, ch) => f"<$code%04X> <${ch.toInt}%04X>" }
+          .mkString("\n")
+        s"${grp.size} beginbfchar\n$lines\nendbfchar\n"
+      }.mkString
+      val cmapText =
+        ("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) " +
+          "/Supplement 0 >> def\n/CMapName /GraftCidToUnicode def\n" +
+          "/CMapType 2 def\n" +
+          "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+          bfBlocks +
+          "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+          .getBytes("ISO-8859-1")
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"${fontObjNum + 2} 0 obj\n" +
+        s"<< /Length ${cmapText.length} >>\nstream\n").getBytes("ISO-8859-1"))
+      buf.write(cmapText)
+      buf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      objs += buf.toByteArray
+    } else if (cmapEnc != null) {
+      // embedded-subset font: custom single-byte encoding + /ToUnicode
+      // CMap stream (identity bfrange for ASCII, bfchar per subset code)
+      objs += obj(fontObjNum,
+        "<< /Type /Font /Subtype /TrueType /BaseFont /GraftSubset " +
+          s"/ToUnicode ${fontObjNum + 1} 0 R >>")
+      val bfchars = cmapEnc.entries
+        .map { case (code, ch) => f"<$code%02X> <${ch.toInt}%04X>" }
+        .mkString("\n")
+      val cmapText =
+        ("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+          "/CMapName /GraftToUnicode def\n" +
+          "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+          "1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n" +
+          s"${cmapEnc.entries.size} beginbfchar\n$bfchars\nendbfchar\n" +
+          "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+          .getBytes("ISO-8859-1")
+      val buf = new ByteArrayOutputStream()
+      buf.write((s"${fontObjNum + 1} 0 obj\n" +
+        s"<< /Length ${cmapText.length} >>\nstream\n").getBytes("ISO-8859-1"))
+      buf.write(cmapText)
+      buf.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      objs += buf.toByteArray
     }
     // assemble with a correct xref (PdfDecode scans, but the file is a
     // structurally valid PDF a standard reader accepts)
@@ -284,8 +414,15 @@ object PdfSynth {
                      widths: Boolean = false,
                      objStm: Boolean = false,
                      hexChain: Boolean = false,
-                     rotate90: Boolean = false): Array[Byte] = {
-    def content = new Content(scale, hexStrings)
+                     rotate90: Boolean = false,
+                     predictor: Boolean = false,
+                     cmapEncoded: Boolean = false,
+                     identityH: Boolean = false): Array[Byte] = {
+    val cmapCodes =
+      if (identityH) new CmapCodes(wide = true)
+      else if (cmapEncoded) new CmapCodes
+      else null
+    def content = new Content(scale, hexStrings, cmapCodes)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
     grid(p1)
@@ -311,6 +448,7 @@ object PdfSynth {
       "Изменения, произошедшие в списке аффилированных лиц")
 
     if (objStm) pdfObjStm(Seq(p1, p2, p3), widths)
-    else pdf(Seq(p1, p2, p3), compress, widths, hexChain, rotate90)
+    else pdf(Seq(p1, p2, p3), compress, widths, hexChain, rotate90,
+      predictor, cmapCodes)
   }
 }

@@ -17,7 +17,14 @@ class DecodeFuzzSpec extends AnyFunSuite {
     "doc" -> OoxmlCorpus.docBytes62(3),
     "xls" -> OoxmlCorpus.xlsBytes(3),
     "pdf-flate" -> OoxmlCorpus.pdfBytes(2),
-    "pdf-plain" -> OoxmlCorpus.pdfBytes(3))
+    "pdf-plain" -> OoxmlCorpus.pdfBytes(3),
+    // the decode-machinery-rich variants: ObjStm+XRef-stream files,
+    // Predictor-coded Flate, ToUnicode CMaps, Identity-H CID fonts —
+    // each adds parsing surface a flipped bit can land in
+    "pdf-objstm" -> OoxmlCorpus.pdfBytes(5),
+    "pdf-predictor" -> OoxmlCorpus.pdfBytes(8),
+    "pdf-cmap" -> OoxmlCorpus.pdfBytes(9),
+    "pdf-cid" -> OoxmlCorpus.pdfBytes(10))
 
   private def total(name: String, bytes: Array[Byte]): Unit = {
     val r = BinaryDispatch.safeDecode(bytes)

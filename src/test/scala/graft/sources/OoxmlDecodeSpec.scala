@@ -122,6 +122,45 @@ class OoxmlDecodeSpec extends AnyFunSuite {
       s"alpha $i\nbeta $i\ngamma $i\ndelta $i")
   }
 
+  test("ECMA-376 STRICT namespaces decode identically to transitional " +
+    "(hand-rewritten container, the namespace-lenient StAX gate)") {
+    // Office 2013+ "Strict Open XML" documents carry purl.oclc.org
+    // namespace URIs instead of schemas.openxmlformats.org (ISO 29500-1
+    // strict vs transitional). The Synth writers emit transitional only,
+    // so the strict layout is pinned by rewriting REAL container bytes:
+    // same entries, same XML structure, strict URIs throughout.
+    val trans = OoxmlCorpus.docxBytes(5)
+    val entries = OoxmlDecode.zipEntries(trans)
+    val strictEntries = entries.toSeq.sortBy(_._1).map { case (name, b) =>
+      name -> new String(b, "UTF-8")
+        .replace("schemas.openxmlformats.org/wordprocessingml/2006/main",
+          "purl.oclc.org/ooxml/wordprocessingml/main")
+        .replace(
+          "schemas.openxmlformats.org/officeDocument/2006/relationships",
+          "purl.oclc.org/ooxml/officeDocument/relationships")
+    }
+    assert(strictEntries.exists(_._2.contains("purl.oclc.org")),
+      "rewrite must have produced a genuinely strict container")
+    val strict = OoxmlSynth.zip(strictEntries)
+    assert(OoxmlDecode.docxBodyElements(strict) ==
+      OoxmlDecode.docxBodyElements(trans),
+      "strict-namespace decode must equal the transitional decode")
+    assert(OoxmlDecode.decodeDocx(strict) == OoxmlDecode.decodeDocx(trans))
+  }
+
+  test("rich-run sharedStrings: per-run t concatenated, phonetic rPh " +
+    "runs excluded (hand-authored sst, the POI getString rule)") {
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><r><rPr><b/><sz val="11"/></rPr><t>Bene</t></r><r><t xml:space="preserve">ficiary </t></r><r><t>A</t></r></si>
+        |<si><t>plain</t></si>
+        |<si><r><t>漢字</t></r><rPh sb="0" eb="2"><t>かんじ</t></rPh><phoneticPr fontId="1"/></si>
+        |</sst>""".stripMargin
+    val got = OoxmlDecode.parseSharedStrings(Some(sst.getBytes("UTF-8")))
+    assert(got == Vector("Beneficiary A", "plain", "漢字"))
+  }
+
   test("xlsx decode: sheets, shared strings, cell model, beneficiaries") {
     val bytes = OoxmlSynth.xlsx(Seq(
       "Выписка 01.03.2020" -> Seq(

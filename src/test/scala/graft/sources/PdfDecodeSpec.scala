@@ -162,6 +162,134 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(sts.size == 9, sts.map(_.name))
   }
 
+  test("/Predictor: PNG-filtered and TIFF-differenced Flate streams " +
+    "reverse exactly; Predictor-12 file decodes identically") {
+    // unit net over every PNG row filter + TIFF 2, incl. a partial
+    // final row and bpp > 1 (Paeth neighborhood across components)
+    val parms = PdfDecode.PredictorParms(12, 1, 8, 4)
+    val raw = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 95)
+    def enc(tag: Int, rows: Array[Byte]): Array[Byte] = {
+      // re-encode by brute force: apply the inverse of each decode rule
+      val out = new java.io.ByteArrayOutputStream()
+      val prev = new Array[Int](4)
+      var i = 0
+      while (i < rows.length) {
+        val len = math.min(4, rows.length - i)
+        out.write(tag)
+        val cur = new Array[Int](4)
+        for (c <- 0 until len) {
+          val x = rows(i + c) & 0xFF
+          cur(c) = x
+          val a = if (c >= 1) cur(c - 1) else 0
+          val b = prev(c)
+          val cc = if (c >= 1) prev(c - 1) else 0
+          val pred = tag match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 =>
+              val pp = a + b - cc
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          out.write((x - pred) & 0xFF)
+        }
+        System.arraycopy(cur, 0, prev, 0, 4)
+        i += len
+      }
+      out.toByteArray
+    }
+    for (tag <- 0 to 4)
+      assert(PdfDecode.unpredict(enc(tag, raw), parms).sameElements(raw),
+        s"PNG filter $tag must round-trip")
+    // TIFF 2: horizontal differencing, 2 components per pixel
+    val tiff = PdfDecode.PredictorParms(2, 2, 8, 3)
+    val diffed = Array[Byte](5, 7, 3, 2, 1, 1, 10, 20, 5, 5, 5, 5)
+    val plain = PdfDecode.unpredict(diffed, tiff)
+    assert(plain.sameElements(
+      Array[Byte](5, 7, 8, 9, 9, 10, 10, 20, 15, 25, 20, 30)))
+    // /DecodeParms array form aligned with a filter chain
+    val ps = PdfDecode.decodeParms(
+      "<< /Filter [ /ASCIIHexDecode /FlateDecode ] /DecodeParms " +
+        "[ null << /Predictor 12 /Columns 24 >> ] >>", 2)
+    assert(ps == Seq(PdfDecode.PredictorParms(1, 1, 8, 1),
+      PdfDecode.PredictorParms(12, 1, 8, 24)))
+    // the whole file: Predictor-12 content streams decode identically
+    val plainPdf = PdfDecode.pages(PdfSynth.stakeholderPdf(8))
+    val predPdf = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(8, predictor = true))
+    assert(predPdf == plainPdf,
+      "Predictor-coded Flate must equal the uncoded decode")
+    val sts = PdfTable.parseStakeholderPages(predPdf, 612f)
+    assert(sts.size == 9, sts.map(_.name))
+  }
+
+  test("/ToUnicode CMap: custom-encoded subset font decodes " +
+    "identically to the UTF-8 convention (bfchar + bfrange)") {
+    // unit net: bfchar pairs, bfrange increment, bfrange array form
+    val cmap = PdfDecode.parseToUnicode(
+      ("2 beginbfchar\n<80> <0421>\n<81> <04220430>\nendbfchar\n" +
+        "2 beginbfrange\n<41> <43> <0061>\n" +
+        "<50> <51> [ <0058> <0059> ]\nendbfrange\n").getBytes("ISO-8859-1"))
+    assert(cmap(0x80) == "С" && cmap(0x81) == "Та")
+    assert(cmap(0x41) == "a" && cmap(0x42) == "b" && cmap(0x43) == "c")
+    assert(cmap(0x50) == "X" && cmap(0x51) == "Y")
+    assert(!cmap.contains(0x44))
+    // the whole file: Cyrillic rides as custom single-byte codes that
+    // only a CMap-driven decoder recovers — a UTF-8 decode of the
+    // string bytes would be mojibake
+    val plain = PdfDecode.pages(PdfSynth.stakeholderPdf(2))
+    val cmapped = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(2, cmapEncoded = true))
+    assert(cmapped == plain,
+      "CMap-encoded decode must equal the UTF-8-convention decode")
+    val sts = PdfTable.parseStakeholderPages(cmapped, 612f)
+    assert(sts.size == 9, sts.map(_.name))
+    assert(sts(0).name == "ООО Компания 2 0")
+  }
+
+  test("Identity-H: two-byte CID codes through /DescendantFonts /W " +
+    "decode identically to the UTF-8 convention") {
+    // unit net: /W parses both §9.7.4.3 entry forms, clamps a corrupt
+    // giant range, and an inline nested array is sliced whole
+    val w = PdfDecode.parseCidWidths("1 [ 500 600 ] 4 6 750")
+    assert(w == Map(1 -> 500f, 2 -> 600f, 4 -> 750f, 5 -> 750f,
+      6 -> 750f))
+    assert(PdfDecode.parseCidWidths("0 16777215 500").size == 0x10000,
+      "corrupt giant range must clamp, not materialize 16M entries")
+    // the whole file: every char (ASCII included) rides as a two-byte
+    // first-use-order CID — a UTF-8 or single-byte decode reads pure
+    // noise; only the Type0/Identity-H path recovers any text
+    val plain = PdfDecode.pages(PdfSynth.stakeholderPdf(3))
+    val cid = PdfDecode.pages(
+      PdfSynth.stakeholderPdf(3, identityH = true))
+    assert(cid == plain,
+      "Identity-H decode must equal the UTF-8-convention decode")
+    val sts = PdfTable.parseStakeholderPages(cid, 612f)
+    assert(sts.size == 9, sts.map(_.name))
+    assert(sts(0).name == "ООО Компания 3 0")
+    assert(sts(8).name == "ПАО Омега 3")
+  }
+
+  test("\\r-only EOLs: a CR-terminated file decodes identically to the " +
+    "LF form (hand-flipped bytes, not a Synth convention)") {
+    // PDF 32000 §7.5.1 allows CR, LF or CRLF as the EOL marker. The
+    // Synth writers emit LF everywhere, so this convention is pinned by
+    // mutating REAL bytes: with compress=false every 0x0A in the file
+    // is structural (no Flate payload, and UTF-8 literals never contain
+    // 0x0A), so a whole-file CR swap is the exact \r-only layout an
+    // old-Mac writer produces — same byte count, so /Length stays valid.
+    val lf = PdfSynth.stakeholderPdf(3, compress = false)
+    assert(lf.count(_ == '\n'.toByte) > 50, "fixture must be LF-rich")
+    val cr = lf.map(b => if (b == '\n'.toByte) '\r'.toByte else b)
+    assert(PdfDecode.pages(cr) == PdfDecode.pages(lf),
+      "CR-only EOLs must not change the decoded pages")
+    val sts = PdfTable.parseStakeholderPages(PdfDecode.pages(cr), 612f)
+    assert(sts.size == 9, sts.map(_.name))
+  }
+
   test("q64 stakeholder filing decodes to the closed-form 9 rows " +
     "(titles, skip-row quirk, cross-page stitch, end-page stop)") {
     val i = 4

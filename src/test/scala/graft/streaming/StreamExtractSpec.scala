@@ -41,6 +41,29 @@ class StreamExtractSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q79 stream-decode entry: AvailableNow + foreachBatch lands the " +
+    "q69 closed form and terminates") {
+    // the oracle-surface streaming path (VERDICT r04 #8): run the REAL
+    // query entry — five corrupt/clean corpora through a binaryFile
+    // readStream into a parquet table — and assert the q69 closed form
+    // it is oracled against (10 bad_pdf/bad_cfb/bad_zip errors, 10
+    // garbage-ok, 40 clean-docx-ok). awaitTermination inside the entry
+    // doubles as the termination assertion: a corrupt file that killed
+    // the stream would hang or throw here, not mis-count.
+    val rows = graft.SparkEntry.queries("q79_stream_decode")(spark, "")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    assert(rows.length == 80)
+    val byKind = rows.groupBy(_._1)
+    assert(byKind("bad_pdf").forall(r => r._3 == "pdf" && r._4 == "error"))
+    assert(byKind("bad_cfb").forall(r => r._3 == "cfb" && r._4 == "error"))
+    assert(byKind("bad_zip").forall(r => r._3 == "zip" && r._4 == "error"))
+    assert(byKind("garbage").forall(r => r._3 == "text" && r._4 == "ok"))
+    assert(byKind("clean").forall(r => r._3 == "docx" && r._4 == "ok"))
+    assert(byKind("clean").map(_._2).sorted.toSeq == (0 until 40))
+  }
+
   test("streaming decode: oversized files become error rows without a " +
     "content read") {
     import graft.sources.OoxmlCorpus
