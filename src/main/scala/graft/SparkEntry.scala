@@ -2301,11 +2301,15 @@ object SparkEntry {
          UNION ALL
          SELECT i::INT, 0::INT, 1::INT,
                 'SECTION ' || i || ' OVERVIEW',
+                -- 'signed at location' is the TextBox HOST paragraph;
+                -- its box text (STAMP BOX ... Choice+Fallback twice in
+                -- the XML) must never appear — embedded-object parity
                 'Terms and conditions follow for document ' || i || '.' ||
                 chr(10) || '1. first term of document ' || i ||
                 chr(10) || '2. second term of document ' || i ||
                 chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
-                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i
+                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i ||
+                chr(10) || 'signed at location ' || i
          FROM range(40) t(i)""",
 
     // full replay of the removal algorithm: normalize -> positional
@@ -2824,7 +2828,8 @@ object SparkEntry {
                 '.' || chr(10) || '1. first term of document ' || i ||
                 chr(10) || '2. second term of document ' || i ||
                 chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
-                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i))::INT
+                chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i ||
+                chr(10) || 'signed at location ' || i))::INT
              AS chars
          FROM range(40) t(i)
          UNION ALL

@@ -23,7 +23,11 @@ object OoxmlCorpus {
     * is pinned in OoxmlDecodeSpec AND in the q58 oracle SQL.
     */
   def docxBytes(i: Int): Array[Byte] = {
-    import OoxmlSynth.{P, Tbl}
+    import OoxmlSynth.{P, Tbl, TextBox}
+    // the TextBox is the embedded-object trap: its box text must NOT
+    // reach the body (POI parity — and a non-skipping reader would
+    // leak it TWICE via Choice+Fallback), while its host paragraph
+    // stays ordinary body text
     OoxmlSynth.docx(Seq(
       P(Seq(s"AGREEMENT DOCUMENT $i" -> Some(true))),
       P.plain(s"This agreement number $i is made between the parties."),
@@ -32,19 +36,31 @@ object OoxmlCorpus {
       P(Seq(s"first term of document $i" -> None), numId = 1),
       P(Seq(s"second term of document $i" -> None), numId = 1),
       P(Seq(s"Contents $i" -> None), toc = true),
-      Tbl(Seq(Seq(s"alpha $i", s"beta $i"), Seq(s"gamma $i", s"delta $i")))))
+      Tbl(Seq(Seq(s"alpha $i", s"beta $i"), Seq(s"gamma $i", s"delta $i"))),
+      TextBox(s"signed at location $i", s"STAMP BOX $i NOT BODY TEXT")))
   }
 
   /** The q60 workbook for id w: one dated sheet (X2 surface) holding a
     * title row (E1 column discovery) and two beneficiary rows (E2
     * projection). Years 2020+w keep the dates distinct per file.
     */
-  def xlsxBytes(w: Int): Array[Byte] =
-    OoxmlSynth.xlsx(Seq(
+  def xlsxBytes(w: Int): Array[Byte] = {
+    import OoxmlSynth.{XStr, XNum, XFormulaStr, XFormulaNum}
+    // the formula row is a type-confusion trap: its cached string sits
+    // under the discovered name column and WOULD parse as a beneficiary
+    // if FORMULA cells (POI CellType for <f>/t="str") were misread as
+    // STRING — the reference's STRING-only scan skips them
+    // (ExcelParser.java:160), so the oracle stays at 2 rows per file
+    OoxmlSynth.xlsxTyped(Seq(
       s"Выписка 15.03.${2020 + w}" -> Seq(
-        Seq("Наименование", "Наименование компании и ФИО владельца"),
-        Seq(s"ООО Фирма $w-1", s"Иванов И.$w"),
-        Seq(s"АО Завод $w-2", s"Петров П.$w"))))
+        Seq(XStr("Наименование"),
+          XStr("Наименование компании и ФИО владельца")),
+        Seq(XStr(s"ООО Фирма $w-1"), XStr(s"Иванов И.$w")),
+        Seq(XFormulaStr("CONCATENATE(A2,B2)", s"ООО Фальшь $w"),
+          XFormulaNum("SUM(1,2)", 3.0)),
+        Seq(XStr(s"АО Завод $w-2"), XStr(s"Петров П.$w")),
+        Seq(XNum(w * 1.5)))))
+  }
 
   val nDoc62 = 20
 
@@ -114,10 +130,10 @@ object OoxmlCorpus {
   }
 
   def ensureDocx(): String =
-    ensure("/tmp/graft_docx_corpus_v1", nDocx, "docx", docxBytes)
+    ensure("/tmp/graft_docx_corpus_v2", nDocx, "docx", docxBytes)
 
   def ensureXlsx(): String =
-    ensure("/tmp/graft_xlsx_corpus_v1", nXlsx, "xlsx", xlsxBytes)
+    ensure("/tmp/graft_xlsx_corpus_v2", nXlsx, "xlsx", xlsxBytes)
 
   def ensureDoc62(): String =
     ensure("/tmp/graft_doc_corpus_v3", nDoc62, "doc", docBytes62)
@@ -134,12 +150,16 @@ object OoxmlCorpus {
     * big-SST layout — and must decode identically.
     */
   def xlsBytes(w: Int): Array[Byte] = {
-    import XlsSynth.{SCell, RkCell}
+    import XlsSynth.{SCell, RkCell, FCell}
+    // FCell = the same type-confusion trap as the XLSX corpus: a
+    // Formula record whose cached String-record text matches the name
+    // column — POI surfaces it as FORMULA, so E1/E2 must skip it
     XlsSynth.xlsTyped(Seq(
       s"Выписка 15.03.${2020 + w}" -> Seq(
         Seq(SCell("Наименование"),
           SCell("Наименование компании и ФИО владельца")),
         Seq(SCell(s"ООО Фирма $w-1"), SCell(s"Иванов И.$w")),
+        Seq(FCell("CONCATENATE(A2)", s"ООО Фальшь $w")),
         Seq(SCell(s"АО Завод $w-2"), SCell(s"Петров П.$w")),
         Seq(RkCell(123.45), RkCell(-7.0), RkCell(0.07)), // one MulRk
         Seq(RkCell(2.5)))),                              // one RK
@@ -147,7 +167,7 @@ object OoxmlCorpus {
   }
 
   def ensureXls(): String =
-    ensure("/tmp/graft_xls_corpus_v3", nXlsx, "xls", xlsBytes)
+    ensure("/tmp/graft_xls_corpus_v4", nXlsx, "xls", xlsBytes)
 
   val nPdf = 11
 
@@ -229,7 +249,7 @@ object OoxmlCorpus {
   def ensureCorruptCfb(): String =
     ensure("/tmp/graft_badcfb_corpus_v3", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =
-    ensure("/tmp/graft_badzip_corpus_v1", nCorrupt, "docx", corruptZipBytes)
+    ensure("/tmp/graft_badzip_corpus_v2", nCorrupt, "docx", corruptZipBytes)
   def ensureGarbage(): String =
     ensure("/tmp/graft_garbage_corpus_v1", nCorrupt, "txt", garbageBytes)
 }

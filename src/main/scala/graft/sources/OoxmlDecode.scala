@@ -301,6 +301,15 @@ object OoxmlDecode {
     var inNumPr = false
     var inSectPr = false
     var capture: java.lang.StringBuilder = null
+    // Embedded-object subtrees POI's paragraph model never surfaces as
+    // body text: DrawingML (w:drawing — charts/text boxes carry a:t and
+    // whole w:p paragraphs inside w:txbxContent), legacy VML (w:pict),
+    // OLE (w:object), and mc:AlternateContent — whose Choice AND
+    // Fallback both carry the same content, so a flat reader that
+    // didn't skip them would DUPLICATE every text-box string
+    // (XWPFRun.text reads only the run's own w:t children).
+    var suppress = 0
+    val embedded = Set("drawing", "pict", "object", "AlternateContent")
     def container: ArrayBuffer[RawBody] =
       if (tableStack.isEmpty) top
       else {
@@ -313,6 +322,8 @@ object OoxmlDecode {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
+            case ln if embedded(ln) => suppress += 1
+            case _ if suppress > 0 =>
             case "p" if !inPPr =>
               para = new RawPara; container += para
             case "tbl" =>
@@ -357,9 +368,11 @@ object OoxmlDecode {
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-          if (capture != null) capture.append(r.getText)
+          if (capture != null && suppress == 0) capture.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case ln if embedded(ln) => suppress = math.max(0, suppress - 1)
+            case _ if suppress > 0 =>
             case "p" if !inPPr => para = null
             case "tbl" if tableStack.nonEmpty => tableStack.pop()
             case "pPr" => inPPr = false
@@ -502,6 +515,7 @@ object OoxmlDecode {
     var cellType: String = null
     var inValue = false
     var inInline = false
+    var hasFormula = false
     val value = new java.lang.StringBuilder
     var hasValue = false
     while (r.hasNext) {
@@ -513,7 +527,8 @@ object OoxmlDecode {
               cellCol = Option(attr(r, "r")).map(colIndex)
                 .getOrElse(if (cells.isEmpty) 0 else cells.last.columnIndex + 1)
               cellType = Option(attr(r, "t")).getOrElse("n")
-              value.setLength(0); hasValue = false
+              value.setLength(0); hasValue = false; hasFormula = false
+            case "f" if cellCol >= 0 => hasFormula = true
             case "v" if cellCol >= 0 => inValue = true; hasValue = true
             case "is" if cellCol >= 0 => inInline = true
             case "t" if inInline => inValue = true; hasValue = true
@@ -527,11 +542,20 @@ object OoxmlDecode {
             case "is" => inInline = false
             case "c" if cellCol >= 0 =>
               // POI CellType names (ExcelParser switches on them; only
-              // STRING participates in E1/E2 — SheetTable.scala)
+              // STRING participates in E1/E2 — SheetTable.scala). A
+              // cell carrying <f> is FORMULA in POI terms REGARDLESS of
+              // its cached-value t (XSSFCell.getCellType), so the
+              // reference's STRING-only scan skips it — t="str" means
+              // "formula with cached string", never a plain string.
               val (tpe, v) = cellType match {
+                case _ if hasFormula => ("FORMULA", value.toString)
                 case "s" =>
                   ("STRING", shared.lift(value.toString.trim.toInt).getOrElse(""))
-                case "str" | "inlineStr" => ("STRING", value.toString)
+                // t="str" is ALWAYS formula-cached in POI's mapping
+                // (XSSFCell: STCellType.STR -> CellType.FORMULA), even
+                // when the writer omitted the <f> element
+                case "str" => ("FORMULA", value.toString)
+                case "inlineStr" => ("STRING", value.toString)
                 case "b" => ("BOOLEAN", value.toString)
                 case "e" => ("ERROR", value.toString)
                 case _ =>

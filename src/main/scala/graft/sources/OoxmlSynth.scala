@@ -45,6 +45,16 @@ object OoxmlSynth {
   final case class TblRich(rows: Seq[Seq[Seq[Body]]], style: String = null)
     extends Body
 
+  /** A paragraph whose run carries a floating text box — the
+    * signature-stamp layout: ONE `mc:AlternateContent` whose Choice
+    * (DrawingML `w:drawing`/wps) and Fallback (VML `w:pict`) BOTH
+    * embed the same `w:txbxContent` paragraph, exactly as Word writes
+    * it. POI's paragraph text excludes box content entirely, so a
+    * reader that didn't skip embedded subtrees would not only leak
+    * `boxText` into the body — it would leak it TWICE.
+    */
+  final case class TextBox(hostText: String, boxText: String) extends Body
+
   def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     .replace("\"", "&quot;")
@@ -81,6 +91,21 @@ object OoxmlSynth {
       tblRichXml(TblRich(
         t.rows.map(_.map(c => Seq(P.plain(c): Body))), t.style))
     case t: TblRich => tblRichXml(t)
+    case tb: TextBox =>
+      val inner = paraXml(P.plain(tb.boxText))
+      s"""<w:p><w:r><w:t xml:space="preserve">${esc(tb.hostText)}""" +
+        "</w:t></w:r><w:r>" +
+        """<mc:AlternateContent""" +
+        """ xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006"""" +
+        """ xmlns:wps="http://schemas.microsoft.com/office/word/2010/wordprocessingShape">""" +
+        """<mc:Choice Requires="wps"><w:drawing><wps:txbx>""" +
+        s"""<w:txbxContent>$inner</w:txbxContent>""" +
+        "</wps:txbx></w:drawing></mc:Choice>" +
+        """<mc:Fallback><w:pict xmlns:v="urn:schemas-microsoft-com:vml">""" +
+        "<v:shape><v:textbox>" +
+        s"""<w:txbxContent>$inner</w:txbxContent>""" +
+        "</v:textbox></v:shape></w:pict></mc:Fallback>" +
+        "</mc:AlternateContent></w:r></w:p>"
   }
 
   private def tblRichXml(t: TblRich): String = {
@@ -163,12 +188,28 @@ object OoxmlSynth {
     sb.toString + (row + 1)
   }
 
+  /** Typed XLSX synth cell: a shared-string STRING, a plain NUMERIC,
+    * or a formula with its cached result — written as `<c t="str">`
+    * (string-cached) / `<c>` (numeric-cached) with an `<f>` child, the
+    * exact markup Excel emits and POI surfaces as CellType.FORMULA.
+    */
+  sealed trait XlsxCell
+  final case class XStr(v: String) extends XlsxCell
+  final case class XNum(v: Double) extends XlsxCell
+  final case class XFormulaStr(f: String, cached: String) extends XlsxCell
+  final case class XFormulaNum(f: String, cached: Double) extends XlsxCell
+
   /** Assemble an XLSX whose sheets hold STRING cells (inline via the
     * shared-string table, as Excel writes them). `sheets` = name ->
     * rows -> cells.
     */
-  def xlsx(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] = {
-    val allStrings = sheets.flatMap(_._2.flatten).distinct
+  def xlsx(sheets: Seq[(String, Seq[Seq[String]])]): Array[Byte] =
+    xlsxTyped(sheets.map { case (n, rows) => n -> rows.map(_.map(XStr)) })
+
+  /** Typed form of [[xlsx]] (STRING + NUMERIC + FORMULA cells). */
+  def xlsxTyped(sheets: Seq[(String, Seq[Seq[XlsxCell]])]): Array[Byte] = {
+    val allStrings = sheets.flatMap(_._2.flatten)
+      .collect { case XStr(s) => s }.distinct
     val sstIndex = allStrings.zipWithIndex.toMap
     val sharedXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -192,7 +233,18 @@ object OoxmlSynth {
     val sheetParts = sheets.zipWithIndex.map { case ((_, rows), i) =>
       val rowsXml = rows.zipWithIndex.map { case (cells, ri) =>
         s"""<row r="${ri + 1}">""" + cells.zipWithIndex.map { case (v, ci) =>
-          s"""<c r="${cellRef(ci, ri)}" t="s"><v>${sstIndex(v)}</v></c>"""
+          val ref = cellRef(ci, ri)
+          v match {
+            case XStr(s) =>
+              s"""<c r="$ref" t="s"><v>${sstIndex(s)}</v></c>"""
+            case XNum(n) =>
+              s"""<c r="$ref"><v>$n</v></c>"""
+            case XFormulaStr(f, cached) =>
+              s"""<c r="$ref" t="str"><f>${esc(f)}</f>""" +
+                s"""<v>${esc(cached)}</v></c>"""
+            case XFormulaNum(f, cached) =>
+              s"""<c r="$ref"><f>${esc(f)}</f><v>$cached</v></c>"""
+          }
         }.mkString + "</row>"
       }.mkString
       s"xl/worksheets/sheet${i + 1}.xml" ->

@@ -192,7 +192,7 @@ object XlsDecode {
 
     sheets.toSeq.map { case (name, pos) =>
       val cells = new ArrayBuffer[(Int, Int, String, String)]() // rw, col, type, value
-      val sit = records(wb, pos)
+      val sit = records(wb, pos).buffered
       var end = false
       while (sit.hasNext && !end) {
         val r = sit.next()
@@ -222,6 +222,35 @@ object XlsDecode {
             cells += ((rw, colIdx,
               if (isErr) "ERROR" else "BOOLEAN",
               if (isErr) v.toString else (v == 1).toString.toUpperCase))
+          case 0x0006 => // Formula (MS-XLS 2.4.127): POI surfaces these
+            // as CellType.FORMULA regardless of the cached result type,
+            // and the reference's STRING-only scan (ExcelParser.java:160)
+            // therefore SKIPS them — so must we, or a formula whose
+            // cached string looks like a beneficiary name would leak
+            // into E1/E2. The cached value is still decoded for the
+            // sheet model: FormulaValue (2.5.133) is an IEEE double
+            // unless its last two bytes are 0xFFFF, in which case
+            // byte 0 discriminates string (text in the directly-
+            // following String record, 2.4.268) / bool / error / blank.
+            val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
+            val value =
+              if ((wb(r.off + 12) & 0xFF) == 0xFF &&
+                  (wb(r.off + 13) & 0xFF) == 0xFF) {
+                (wb(r.off + 6) & 0xFF) match {
+                  case 0 =>
+                    if (sit.hasNext && sit.head.sid == 0x0207) {
+                      val s = sit.next() // String: XLUnicodeString body
+                      val cch = u16(wb, s.off)
+                      val high = (wb(s.off + 2) & 0x01) != 0
+                      new RecSpan(wb, IndexedSeq((s.off + 3, s.off + s.len)))
+                        .chars(cch, high)
+                    } else ""
+                  case 1 => ((wb(r.off + 8) & 0xFF) == 1).toString.toUpperCase
+                  case 2 => (wb(r.off + 8) & 0xFF).toString
+                  case _ => ""
+                }
+              } else f64(wb, r.off + 6).toString
+            cells += ((rw, colIdx, "FORMULA", value))
           case 0x0201 => // Blank
             val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
             cells += ((rw, colIdx, "BLANK", ""))

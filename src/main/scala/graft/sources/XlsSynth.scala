@@ -35,6 +35,15 @@ object XlsSynth {
   final case class SCell(s: String) extends XCell
   final case class RkCell(v: Double) extends XCell
 
+  /** A formula cell with a cached STRING result: a Formula record
+    * (MS-XLS 2.4.127, string-sentinel FormulaValue) directly followed
+    * by a String record (2.4.268) carrying the cached text — the
+    * layout every real-world sheet with text formulas has. `formula`
+    * is written as an opaque rgce placeholder blob (the decoder skips
+    * it by cce; only POI's CellType.FORMULA surface matters here).
+    */
+  final case class FCell(formula: String, cached: String) extends XCell
+
   /** RK encoding of a double (MS-XLS 2.5.276): prefer the 30-bit
     * integer form, then integer-x100 (fDiv100), then the truncated-
     * double form (exact only when the low 34 mantissa bits are zero);
@@ -120,6 +129,19 @@ object XlsSynth {
             case SCell(v) =>
               out.write(rec(0x00FD,
                 u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(sstIndex(v))))
+              colIdx += 1
+            case FCell(formula, cached) =>
+              val rgce = formula.getBytes("ISO-8859-1")
+              out.write(rec(0x0006,
+                u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++
+                  Array[Byte](0, 0, 0, 0, 0, 0, -1, -1) ++ // string sentinel
+                  u16(0) ++ i32(0) ++ u16(rgce.length) ++ rgce))
+              val high = cached.exists(_ > 0xFF)
+              out.write(rec(0x0207,
+                u16(cached.length) ++
+                  Array[Byte](if (high) 1 else 0) ++
+                  (if (high) cached.getBytes("UTF-16LE")
+                   else cached.getBytes("ISO-8859-1"))))
               colIdx += 1
             case RkCell(_) =>
               var end = colIdx

@@ -23,7 +23,8 @@ class BinaryDispatchSpec extends AnyFunSuite {
     assert(decode(OoxmlCorpus.docBytes62(2))
       .asInstanceOf[DecodedDoc].md.documents.head.paragraphs.size == 4)
     assert(decode(OoxmlCorpus.xlsBytes(2))
-      .asInstanceOf[DecodedSheets].sheets.head.rows.size == 5) // 3 STRING + 2 RK/MulRk
+      .asInstanceOf[DecodedSheets]
+      .sheets.head.rows.size == 6) // 3 STRING + 1 FORMULA + 2 RK/MulRk
     assert(decode(OoxmlCorpus.pdfBytes(2))
       .asInstanceOf[DecodedPdf].stakeholders.size == 9)
     assert(decode("plain".getBytes)

@@ -119,7 +119,11 @@ class OoxmlDecodeSpec extends AnyFunSuite {
     assert(paras(1).body.text ==
       s"Terms and conditions follow for document $i.\n" +
       s"1. first term of document $i\n2. second term of document $i\n" +
-      s"alpha $i\nbeta $i\ngamma $i\ndelta $i")
+      s"alpha $i\nbeta $i\ngamma $i\ndelta $i\nsigned at location $i")
+    // embedded-object parity: the text-box content appears NOWHERE —
+    // a non-skipping reader would emit it twice (Choice + Fallback)
+    val all = paras.map(p => p.header.text + "\n" + p.body.text).mkString
+    assert(!all.contains("STAMP BOX"))
   }
 
   test("ECMA-376 STRICT namespaces decode identically to transitional " +
@@ -178,6 +182,23 @@ class OoxmlDecodeSpec extends AnyFunSuite {
       Seq(("ООО Ромашка", "Иванов И.И."), ("АО Лютик", "Петров П.П.")))
     assert(SheetTable.parseDateFromSheetName(sheets.head.name)
       .contains(java.time.LocalDate.of(2020, 3, 1)))
+  }
+
+  test("formula cells are FORMULA (POI parity), never STRING — the " +
+      "cached-string trap stays out of the beneficiary scan") {
+    val sheets = OoxmlDecode.decodeXlsx(OoxmlCorpus.xlsxBytes(3))
+    val rows = sheets.head.rows
+    // row 2: <c t="str"><f/><v>ООО Фальшь 3</v></c> + numeric-cached
+    // <c><f/><v>3.0</v></c> — POI surfaces BOTH as CellType.FORMULA
+    // (XSSFCell: an <f> child, or t="str", means formula), so the
+    // STRING-only scan (ExcelParser.java:160) skips the row entirely
+    assert(rows(2).cells.map(c => (c.cellType, c.value)) ==
+      Seq(("FORMULA", "ООО Фальшь 3"), ("FORMULA", "3.0")))
+    // plain numeric row stays NUMERIC (no <f>)
+    assert(rows(4).cells.map(_.cellType) == Seq("NUMERIC"))
+    val bens = SheetTable.parseBeneficiaries(sheets)
+    assert(bens.size == 2)
+    assert(!bens.exists(b => Option(b.name).exists(_.contains("Фальшь"))))
   }
 
   test("column index decode: A, Z, AA, BC") {

@@ -51,14 +51,24 @@ class XlsDecodeSpec extends AnyFunSuite {
       Seq(("NUMERIC", "2.5"))))
   }
 
-  test("q63 numeric tail rows are NUMERIC and invisible to the " +
-      "STRING-only beneficiary scan (F9)") {
+  test("q63 numeric and formula rows are typed NUMERIC/FORMULA and " +
+      "invisible to the STRING-only beneficiary scan (F9)") {
     val sheets = XlsDecode.decodeXls(OoxmlCorpus.xlsBytes(3))
-    val tail = sheets.head.rows.drop(3)
+    // row 2 is the type-confusion trap: a Formula record whose cached
+    // String-record text ("ООО Фальшь 3") matches the name column —
+    // POI parity demands FORMULA (ExcelParser.java:160 skips it), with
+    // the cached text still decoded into the sheet model
+    val trap = sheets.head.rows(2).cells
+    assert(trap.map(c => (c.cellType, c.value)) ==
+      Seq(("FORMULA", "ООО Фальшь 3")))
+    val tail = sheets.head.rows.drop(4)
     assert(tail.map(_.cells.map(_.cellType)) ==
       Seq(Seq("NUMERIC", "NUMERIC", "NUMERIC"), Seq("NUMERIC")))
-    // oracle invariance: beneficiaries unchanged by the numeric rows
-    assert(SheetTable.parseBeneficiaries(sheets).size == 2)
+    // oracle invariance: beneficiaries unchanged by the typed rows —
+    // a FORMULA->STRING confusion would add "ООО Фальшь 3" here
+    val bens = SheetTable.parseBeneficiaries(sheets)
+    assert(bens.size == 2)
+    assert(!bens.exists(b => Option(b.name).exists(_.contains("Фальшь"))))
   }
 
   test("Continue-record SST: strings split across records (incl. " +
