@@ -169,10 +169,10 @@ object OoxmlCorpus {
   def ensureXls(): String =
     ensure("/tmp/graft_xls_corpus_v4", nXlsx, "xls", xlsBytes)
 
-  val nPdf = 11
+  val nPdf = 12
 
   /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
-    * cycling the eleven real-world convention variants — all must
+    * cycling the twelve real-world convention variants — all must
     * decode to the same 9 stakeholders (one oracle over the union):
     * w%11==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
     * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
@@ -187,9 +187,13 @@ object OoxmlCorpus {
     * 8 Predictor-12 (PNG up) coded Flate content; 9 single-byte
     * /ToUnicode-CMap subset encoding; 10 composite /Type0 /Identity-H
     * font (two-byte CID codes, /DescendantFonts /W metrics — only a
-    * CID-aware decoder reads any text at all).
+    * CID-aware decoder reads any text at all); 11 Tc/Tz text-state
+    * layout (letterspaced-condensed: constant-800 /Widths with
+    * Tc=0.2*size and Tz 50 — the same displayed geometry, but a
+    * decoder skipping the §9.4.4 spacing terms overshoots every
+    * advance by 60% and mis-bins glyphs into neighboring cells).
     */
-  def pdfBytes(w: Int): Array[Byte] = w % 11 match {
+  def pdfBytes(w: Int): Array[Byte] = w % 12 match {
     case 0 => PdfSynth.stakeholderPdf(w, compress = true)
     case 1 => PdfSynth.stakeholderPdf(w)
     case 2 => PdfSynth.stakeholderPdf(w, compress = true, scale = 2f)
@@ -200,11 +204,12 @@ object OoxmlCorpus {
     case 7 => PdfSynth.stakeholderPdf(w, compress = true, rotate90 = true)
     case 8 => PdfSynth.stakeholderPdf(w, predictor = true)
     case 9 => PdfSynth.stakeholderPdf(w, cmapEncoded = true)
-    case _ => PdfSynth.stakeholderPdf(w, identityH = true)
+    case 10 => PdfSynth.stakeholderPdf(w, identityH = true)
+    case _ => PdfSynth.stakeholderPdf(w, textState = true)
   }
 
   def ensurePdf(): String =
-    ensure("/tmp/graft_pdf_corpus_v7", nPdf, "pdf", pdfBytes)
+    ensure("/tmp/graft_pdf_corpus_v8", nPdf, "pdf", pdfBytes)
 
   // ---------- q69: deterministic corrupt corpora ----------
   //

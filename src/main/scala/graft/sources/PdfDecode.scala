@@ -62,15 +62,23 @@ import scala.collection.mutable.ArrayBuffer
   * metrics) — the encoding virtually every CJK and most modern-
   * generator PDFs use.
   *
+  * Glyph advances implement the full §9.4.4 displacement: font width
+  * (/Widths, /W+/DW, or the 0.5 * fontSize fallback) plus Tc char
+  * spacing, Tw word spacing (single-byte code 32 only, per §9.3.3) and
+  * Tz horizontal scaling — justified, letterspaced and condensed
+  * layouts place glyphs where PDFBox does. Tc/Tw/Tz ride the q/Q
+  * graphics-state stack and the `"` operator sets Tw/Tc inline.
+  *
   * Documented deltas vs PDFBox: fonts without /Widths (or /W) advance
   * by a fixed 0.5 * fontSize per char; non-Identity CID encodings
   * (predefined CMaps like /UniGB-UCS2-H, §9.7.5.2) are not decoded —
   * code bytes follow Identity-H's fixed two-byte convention only.
-  * The synthesized q64 corpus ([[PdfSynth]]) cycles eleven convention
+  * The synthesized q64 corpus ([[PdfSynth]]) cycles twelve convention
   * variants (plain, Flate, cm-scaled, hex-string, /Widths metrics,
   * ObjStm+XRef-stream, ASCIIHex+Flate filter chain, /Rotate 90
   * landscape, Predictor-12 Flate, ToUnicode-CMap custom encoding,
-  * Identity-H two-byte CIDs), so the decode oracle covers each.
+  * Identity-H two-byte CIDs, Tc/Tz letterspaced-condensed), so the
+  * decode oracle covers each.
   */
 object PdfDecode {
 
@@ -888,6 +896,15 @@ object PdfDecode {
     var fontSize = 12f
     var font: Option[FontInfo] = None
     var leading = 0f
+    // text-state advance parameters (§9.3.1-9.3.4): Tc char spacing,
+    // Tw word spacing (single-byte code 32 ONLY — never two-byte CIDs,
+    // §9.3.3), Tz horizontal scaling (stored as the Th fraction).
+    // PDFBox folds all three into every glyph advance (§9.4.4) —
+    // justified text (Tw), letterspacing (Tc) and condensed layouts
+    // (Tz) mis-place glyphs under a decoder that ignores them.
+    var charSpacing = 0f
+    var wordSpacing = 0f
+    var hScale = 1f
     // current transformation matrix [a b c d e f] (PDF 32000 §8.3.4);
     // `cm` concatenates, q/Q save/restore. Device coords = text-space
     // coords through the CTM — the PDFBox position convention
@@ -910,9 +927,13 @@ object PdfDecode {
       case TNum(v) => v
       case _ => 0f
     }
-    def advance(code: Int): Float = font.flatMap(_.widths) match {
-      case Some(w) => w.advance(code, fontSize)
-      case None => fontSize * 0.5f
+    def advance(code: Int): Float = {
+      val base = font.flatMap(_.widths) match {
+        case Some(w) => w.advance(code, fontSize)
+        case None => fontSize * 0.5f
+      }
+      (base + charSpacing +
+        (if (code == 32) wordSpacing else 0f)) * hScale
     }
     def show(bytes: Array[Byte]): Unit = font match {
       case Some(f) if f.twoByte =>
@@ -927,8 +948,8 @@ object PdfDecode {
           val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
           val txt = cmap.getOrElse(code, code.toChar.toString)
           glyphs += Glyph(txX(curX, curY), txY(curX, curY), txt)
-          curX += f.cidWidths.getOrElse(code, f.defaultWidth) / 1000f *
-            fontSize
+          curX += (f.cidWidths.getOrElse(code, f.defaultWidth) / 1000f *
+            fontSize + charSpacing) * hScale
           i += 2
         }
       case _ => font.flatMap(_.toUnicode) match {
@@ -965,6 +986,9 @@ object PdfDecode {
                 case _ => None
               }
           case "TL" => leading = num(1)
+          case "Tc" => charSpacing = num(1)
+          case "Tw" => wordSpacing = num(1)
+          case "Tz" => hScale = num(1) / 100f
           case "Td" =>
             lineX += num(2); lineY += num(1); curX = lineX; curY = lineY
           case "TD" =>
@@ -978,11 +1002,15 @@ object PdfDecode {
           case "'" =>
             lineY -= leading; curX = lineX; curY = lineY
             stack.lastOption.foreach { case TStr(b) => show(b); case _ => }
+          case "\"" => // aw ac string ": set Tw/Tc, next line, show
+            wordSpacing = num(3); charSpacing = num(2)
+            lineY -= leading; curX = lineX; curY = lineY
+            stack.lastOption.foreach { case TStr(b) => show(b); case _ => }
           case "TJ" => // array already flattened onto the stack
             val arr = stack.dropWhile(_ != TArrStart).drop(1)
             for (t <- arr) t match {
               case TStr(b) => show(b)
-              case TNum(adj) => curX -= adj / 1000f * fontSize
+              case TNum(adj) => curX -= adj / 1000f * fontSize * hScale
               case _ =>
             }
           case "cm" => // CTM' = M x CTM (left-concatenation, §8.3.4)
@@ -993,9 +1021,14 @@ object PdfDecode {
               c * ctm(0) + d * ctm(2), c * ctm(1) + d * ctm(3),
               e * ctm(0) + f * ctm(2) + ctm(4),
               e * ctm(1) + f * ctm(3) + ctm(5))
-          case "q" => gsStack += ctm.clone()
+          case "q" => // Tc/Tw/Tz live in the graphics state too (§8.4.1)
+            gsStack += (ctm :+ charSpacing :+ wordSpacing :+ hScale)
           case "Q" =>
-            if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+            if (gsStack.nonEmpty) {
+              val s = gsStack.remove(gsStack.length - 1)
+              ctm = s.take(6)
+              charSpacing = s(6); wordSpacing = s(7); hScale = s(8)
+            }
           case "re" =>
             // transform all four corners and take the bounding box —
             // exact for the scale/translate CTMs real tables use, a

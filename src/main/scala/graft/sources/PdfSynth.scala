@@ -48,7 +48,8 @@ object PdfSynth {
   }
 
   final class Content(scale: Float = 1f, hexStrings: Boolean = false,
-                      cmap: CmapCodes = null) {
+                      cmap: CmapCodes = null,
+                      textState: Boolean = false) {
     private val sb = new StringBuilder
     private def fmt(v: Float): String = f"${v / scale}%.1f"
     def text(x: Float, y: Float, size: Float, s: String): Content = {
@@ -63,7 +64,13 @@ object PdfSynth {
         else
           "(" + s.replace("\\", "\\\\").replace("(", "\\(")
             .replace(")", "\\)") + ")"
-      sb ++= s"BT /F1 ${fmt(size)} Tf ${fmt(x)} ${fmt(y)} Td $op Tj ET\n"
+      // textState: letterspaced-condensed layout — Tc = 0.2*size with
+      // Tz 50 over the constant-800 /Widths font gives the effective
+      // advance (0.8*size + 0.2*size) * 0.5 = 0.5*size, the same
+      // DISPLAYED geometry as the plain variants; a decoder ignoring
+      // Tc/Tz reads 0.8*size (60% overshoot) and mis-bins glyphs
+      val ts = if (textState) s"${fmt(0.2f * size)} Tc 50 Tz " else ""
+      sb ++= s"BT /F1 ${fmt(size)} Tf $ts${fmt(x)} ${fmt(y)} Td $op Tj ET\n"
       this
     }
     def fillRect(x: Float, y: Float, w: Float, h: Float): Content = {
@@ -137,7 +144,8 @@ object PdfSynth {
           hexChain: Boolean = false,
           rotate90: Boolean = false,
           predictor: Boolean = false,
-          cmapEnc: CmapCodes = null): Array[Byte] = {
+          cmapEnc: CmapCodes = null,
+          textState: Boolean = false): Array[Byte] = {
     val n = pages.size
     // objects: 1 catalog, 2 pages, then per page i: (3+2i) page,
     // (4+2i) content; widths variant appends (3+2n) font, (4+2n) widths
@@ -158,7 +166,7 @@ object PdfSynth {
         (if (rotate90) "/MediaBox [ 0 0 792 612 ] >>"
          else "/MediaBox [ 0 0 612 792 ] >>"))
     val fontRes =
-      if (widths || cmapEnc != null) s"/F1 $fontObjNum 0 R"
+      if (widths || cmapEnc != null || textState) s"/F1 $fontObjNum 0 R"
       else "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for ((c, i) <- pages.zipWithIndex) {
       objs += obj(3 + 2 * i,
@@ -197,6 +205,14 @@ object PdfSynth {
           s"/FirstChar 32 /LastChar 126 /Widths ${fontObjNum + 1} 0 R >>")
       objs += obj(fontObjNum + 1,
         (32 to 126).map(synthWidth).mkString("[ ", " ", " ]"))
+    } else if (textState) {
+      // constant-800 widths: with the content's Tc/Tz ops the pair is
+      // only consistent under a §9.4.4-complete advance computation
+      objs += obj(fontObjNum,
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+          s"/FirstChar 32 /LastChar 126 /Widths ${fontObjNum + 1} 0 R >>")
+      objs += obj(fontObjNum + 1,
+        (32 to 126).map(_ => 800).mkString("[ ", " ", " ]"))
     } else if (cmapEnc != null && cmapEnc.wide) {
       // composite Identity-H font (§9.7.4): /Type0 -> CIDFontType2
       // descendant carrying /W + /DW glyph metrics, /ToUnicode CMap
@@ -417,12 +433,13 @@ object PdfSynth {
                      rotate90: Boolean = false,
                      predictor: Boolean = false,
                      cmapEncoded: Boolean = false,
-                     identityH: Boolean = false): Array[Byte] = {
+                     identityH: Boolean = false,
+                     textState: Boolean = false): Array[Byte] = {
     val cmapCodes =
       if (identityH) new CmapCodes(wide = true)
       else if (cmapEncoded) new CmapCodes
       else null
-    def content = new Content(scale, hexStrings, cmapCodes)
+    def content = new Content(scale, hexStrings, cmapCodes, textState)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
     grid(p1)
@@ -449,6 +466,6 @@ object PdfSynth {
 
     if (objStm) pdfObjStm(Seq(p1, p2, p3), widths)
     else pdf(Seq(p1, p2, p3), compress, widths, hexChain, rotate90,
-      predictor, cmapCodes)
+      predictor, cmapCodes, textState)
   }
 }

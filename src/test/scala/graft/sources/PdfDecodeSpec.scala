@@ -273,6 +273,59 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(sts(8).name == "ПАО Омега 3")
   }
 
+  test("Tc/Tw/Tz: the letterspaced-condensed layout decodes to the " +
+    "same stakeholders; Tw shifts only spaces; q/Q restores all three") {
+    // the full-file gate: constant-800 widths + (Tc=0.2*size, Tz 50)
+    // give the same DISPLAYED geometry as the plain variant — the
+    // stakeholder parse must agree exactly
+    val sts = PdfTable.parseStakeholderPages(
+      PdfDecode.pages(PdfSynth.stakeholderPdf(4, textState = true)),
+      612f)
+    assert(sts.size == 9, sts.map(_.name))
+    assert(sts(0).name == "ООО Компания 4 0" && sts(0).share != null)
+    assert(sts(8).name == "ПАО Омега 4")
+    // unit net on the interpreter: Tw applies to code 32 only; the "
+    // operator sets Tw/Tc inline; Q restores the pre-q text state
+    def xs(content: String): Seq[Float] =
+      PdfDecode.interpret(content.getBytes("ISO-8859-1")).lines
+        .flatMap(_.glyphs).map(_.x)
+    val plain = xs("BT /F1 10 Tf 0 700 Td (a b) Tj ET")
+    val spaced = xs("BT /F1 10 Tf 6 Tw 0 700 Td (a b) Tj ET")
+    assert(plain.size == 3 && spaced.size == 3)
+    assert(spaced(1) == plain(1), "Tw must not move the pre-space glyph")
+    assert(spaced(2) == plain(2) + 6f, "Tw shifts the post-space glyph")
+    val viaQuote = xs("BT /F1 10 Tf 2 TL 0 700 Td 6 0 (a b) \" ET")
+    assert(viaQuote(2) - viaQuote(0) == (spaced(2) - spaced(0)),
+      "the \" operator must set Tw before showing")
+    val restored = xs(
+      "BT /F1 10 Tf q 4 Tc 200 Tz Q 0 700 Td (ab) Tj ET")
+    assert(restored(1) - restored(0) == plain(1) - plain(0),
+      "Q must restore Tc/Tz saved by q")
+    // hScale halves advances AND TJ adjustments symmetrically
+    val tz = xs("BT /F1 10 Tf 50 Tz 0 700 Td [(ab) -1000 (c)] TJ ET")
+    assert(tz(1) - tz(0) == (plain(1) - plain(0)) / 2f)
+    assert(tz(2) - tz(1) == (plain(1) - plain(0)) / 2f + 5f)
+    // discrimination: the corpus variant is NOT passable by a decoder
+    // that ignores the spacing terms — stripping the Tc/Tz ops from
+    // the same content (= what such a decoder effectively computes,
+    // 0.8*size advances) must change the parsed stakeholders
+    val c = new PdfSynth.Content(textState = true)
+    c.text(30f, 750f, 10f, "01.02.2020 03.04.2021")
+    val withOps = PdfDecode.interpret(c.bytes,
+      fonts = Map("F1" -> PdfDecode.FontInfo(
+        Some(PdfDecode.FontWidths(32, Array.fill(95)(800f))), None)))
+    val stripped = new String(c.bytes, "ISO-8859-1")
+      .replaceAll("""[-\d.]+ Tc |[-\d.]+ Tz """, "")
+    val noOps = PdfDecode.interpret(stripped.getBytes("ISO-8859-1"),
+      fonts = Map("F1" -> PdfDecode.FontInfo(
+        Some(PdfDecode.FontWidths(32, Array.fill(95)(800f))), None)))
+    val spanOf = (p: graft.core.PdfTable.Page) => {
+      val g = p.lines.flatMap(_.glyphs); g.map(_.x).max - g.map(_.x).min
+    }
+    assert(spanOf(noOps) > spanOf(withOps) * 1.5f,
+      "a Tc/Tz-ignoring decode must overshoot the line span")
+  }
+
   test("\\r-only EOLs: a CR-terminated file decodes identically to the " +
     "LF form (hand-flipped bytes, not a Synth convention)") {
     // PDF 32000 §7.5.1 allows CR, LF or CRLF as the EOL marker. The
