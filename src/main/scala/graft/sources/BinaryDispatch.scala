@@ -40,7 +40,9 @@ object BinaryDispatch {
         "xls"
       else "cfb"
     case "zip" =>
-      val entries = OoxmlDecode.zipEntries(bytes).keySet
+      // names come from the central directory — zero inflation, so
+      // sniffing a 10^6x zip bomb costs nothing
+      val entries = OoxmlDecode.zipEntryNames(bytes)
       if (entries.contains("word/document.xml")) "docx"
       else if (entries.contains("xl/workbook.xml")) "xlsx"
       else "zip"

@@ -98,16 +98,52 @@ object OoxmlDecode {
     out.result()
   }
 
+  /** Only the entries `keep` accepts, read via the central directory
+    * ([[ZipRandom]]) — embedded media (images routinely 10-100x the
+    * XML in real files) is never inflated, where the streaming
+    * [[zipEntries]] walk decompresses every byte of every entry. The
+    * cumulative inflation cap is preserved across the kept entries.
+    */
+  def zipEntriesWhere(bytes: Array[Byte], keep: String => Boolean,
+                      cap: Long = maxInflatedBytes)
+      : Map[String, Array[Byte]] = {
+    var total = 0L
+    val out = Map.newBuilder[String, Array[Byte]]
+    for (e <- ZipRandom.entries(bytes) if keep(e.name)) {
+      val data = ZipRandom.read(bytes, e, cap - total)
+      total += data.length
+      out += e.name -> data
+    }
+    out.result()
+  }
+
+  /** Entry names only — zero inflation (the dispatch sniffing path). */
+  def zipEntryNames(bytes: Array[Byte]): Set[String] =
+    ZipRandom.entries(bytes).map(_.name).toSet
+
   /** Hardened reader: no DTDs, no external entities (document bytes are
     * untrusted input at corpus scale).
+    *
+    * The factory is per-THREAD, not per-call: `newInstance()` runs the
+    * JAXP ServiceLoader lookup under classloader locks every time, and
+    * at several reader() calls per document it both dominated decode
+    * wall time and GLOBALLY SERIALIZED the tier (measured: 8 decode
+    * threads ran 1.9x one thread; with the thread-local factory the
+    * pure-thread pair scales with the host envelope —
+    * DecodeKernelProbe). XMLInputFactory is not specified thread-safe,
+    * so per-thread instances, not one shared one.
     */
-  private def reader(xml: Array[Byte]): XMLStreamReader = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f.setProperty(XMLInputFactory.IS_COALESCING, true)
-    f.createXMLStreamReader(new ByteArrayInputStream(xml))
+  private val factories = new ThreadLocal[XMLInputFactory] {
+    override def initialValue(): XMLInputFactory = {
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f
+    }
   }
+  private def reader(xml: Array[Byte]): XMLStreamReader =
+    factories.get().createXMLStreamReader(new ByteArrayInputStream(xml))
 
   /** Attribute by local name (namespace-lenient: ECMA-376 transitional
     * and strict use different namespace URIs for the same vocabulary).
@@ -439,7 +475,8 @@ object OoxmlDecode {
 
   /** DOCX bytes -> the segmenter's BodyElement stream (S3, real). */
   def docxBodyElements(bytes: Array[Byte]): Seq[BodyElement] = {
-    val entries = zipEntries(bytes)
+    val entries = zipEntriesWhere(bytes, Set("word/document.xml",
+      "word/styles.xml", "word/numbering.xml"))
     val styles = entries.get("word/styles.xml").map(parseStyles)
       .getOrElse(Map.empty[String, StyleDef])
     val numbering = parseNumbering(entries.get("word/numbering.xml"))
@@ -617,7 +654,10 @@ object OoxmlDecode {
     * [[graft.core.SheetTable.parseDateFromSheetName]] (X2).
     */
   def decodeXlsx(bytes: Array[Byte]): Seq[SheetTable.Sheet] = {
-    val entries = zipEntries(bytes)
+    // sheet parts live under xl/ (worksheets, workbook, sharedStrings,
+    // rels); xl/media and docProps never inflate
+    val entries = zipEntriesWhere(bytes, n => n.startsWith("xl/") &&
+      (n.endsWith(".xml") || n.endsWith(".rels")))
     val shared = parseSharedStrings(entries.get("xl/sharedStrings.xml"))
     val rels = parseRels(entries.get("xl/_rels/workbook.xml.rels"))
     val wb = entries.getOrElse("xl/workbook.xml",

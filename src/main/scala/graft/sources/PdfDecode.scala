@@ -87,7 +87,15 @@ object PdfDecode {
   private val objRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
   private val lengthRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
 
-  /** Parse all indirect objects (Latin-1 structure scan; byte-exact). */
+  /** Parse all indirect objects (Latin-1 structure scan; byte-exact).
+    *
+    * Memory: the whole-file Latin-1 String is COMPACT on JDK 9+
+    * (ISO-8859-1 chars all fit the LATIN1 coder, so the String wraps a
+    * same-length byte[], not UTF-16) — the scan costs ONE extra copy
+    * of the file, i.e. ~2x file size transiently per task alongside
+    * the input bytes, bounded by the decode tier's 512 MB per-file
+    * cap. Offsets into the String are byte offsets by construction.
+    */
   def objects(bytes: Array[Byte]): Map[Int, Obj] = {
     val s = new String(bytes, "ISO-8859-1")
     val out = Map.newBuilder[Int, Obj]

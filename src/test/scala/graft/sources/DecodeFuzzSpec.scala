@@ -24,7 +24,8 @@ class DecodeFuzzSpec extends AnyFunSuite {
     "pdf-objstm" -> OoxmlCorpus.pdfBytes(5),
     "pdf-predictor" -> OoxmlCorpus.pdfBytes(8),
     "pdf-cmap" -> OoxmlCorpus.pdfBytes(9),
-    "pdf-cid" -> OoxmlCorpus.pdfBytes(10))
+    "pdf-cid" -> OoxmlCorpus.pdfBytes(10),
+    "pdf-textstate" -> OoxmlCorpus.pdfBytes(11))
 
   private def total(name: String, bytes: Array[Byte]): Unit = {
     val r = BinaryDispatch.safeDecode(bytes)
