@@ -2303,13 +2303,18 @@ object SparkEntry {
                 'SECTION ' || i || ' OVERVIEW',
                 -- 'signed at location' is the TextBox HOST paragraph;
                 -- its box text (STAMP BOX ... Choice+Fallback twice in
-                -- the XML) must never appear — embedded-object parity
+                -- the XML) must never appear — embedded-object parity.
+                -- 'approved clause N final' is the INLINE content
+                -- control (included, POI paragraph text); the BLOCK
+                -- w:sdt ('CONTROLLED COVER') must never appear
+                -- (DocumentParser.java:407-409 drops CONTENTCONTROL)
                 'Terms and conditions follow for document ' || i || '.' ||
                 chr(10) || '1. first term of document ' || i ||
                 chr(10) || '2. second term of document ' || i ||
                 chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
                 chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i ||
-                chr(10) || 'signed at location ' || i
+                chr(10) || 'signed at location ' || i ||
+                chr(10) || 'approved clause ' || i || ' final'
          FROM range(40) t(i)""",
 
     // full replay of the removal algorithm: normalize -> positional
@@ -2829,7 +2834,8 @@ object SparkEntry {
                 chr(10) || '2. second term of document ' || i ||
                 chr(10) || 'alpha ' || i || chr(10) || 'beta ' || i ||
                 chr(10) || 'gamma ' || i || chr(10) || 'delta ' || i ||
-                chr(10) || 'signed at location ' || i))::INT
+                chr(10) || 'signed at location ' || i ||
+                chr(10) || 'approved clause ' || i || ' final'))::INT
              AS chars
          FROM range(40) t(i)
          UNION ALL

@@ -23,11 +23,15 @@ object OoxmlCorpus {
     * is pinned in OoxmlDecodeSpec AND in the q58 oracle SQL.
     */
   def docxBytes(i: Int): Array[Byte] = {
-    import OoxmlSynth.{P, Tbl, TextBox}
+    import OoxmlSynth.{P, Tbl, TextBox, SdtBlock, InlineSdtP}
     // the TextBox is the embedded-object trap: its box text must NOT
     // reach the body (POI parity — and a non-skipping reader would
     // leak it TWICE via Choice+Fallback), while its host paragraph
-    // stays ordinary body text
+    // stays ordinary body text. The SdtBlock is the content-control
+    // trap: the reference drops BLOCK-level w:sdt unprocessed
+    // (DocumentParser.java:407-409), while the InlineSdtP paragraph's
+    // inline control text MUST be included (POI paragraph text) —
+    // both directions gate the q58/q65 oracles.
     OoxmlSynth.docx(Seq(
       P(Seq(s"AGREEMENT DOCUMENT $i" -> Some(true))),
       P.plain(s"This agreement number $i is made between the parties."),
@@ -37,7 +41,9 @@ object OoxmlCorpus {
       P(Seq(s"second term of document $i" -> None), numId = 1),
       P(Seq(s"Contents $i" -> None), toc = true),
       Tbl(Seq(Seq(s"alpha $i", s"beta $i"), Seq(s"gamma $i", s"delta $i"))),
-      TextBox(s"signed at location $i", s"STAMP BOX $i NOT BODY TEXT")))
+      TextBox(s"signed at location $i", s"STAMP BOX $i NOT BODY TEXT"),
+      SdtBlock(Seq(P.plain(s"CONTROLLED COVER $i DROPPED"))),
+      InlineSdtP(s"approved ", s"clause $i", " final")))
   }
 
   /** The q60 workbook for id w: one dated sheet (X2 surface) holding a
@@ -130,7 +136,7 @@ object OoxmlCorpus {
   }
 
   def ensureDocx(): String =
-    ensure("/tmp/graft_docx_corpus_v2", nDocx, "docx", docxBytes)
+    ensure("/tmp/graft_docx_corpus_v3", nDocx, "docx", docxBytes)
 
   def ensureXlsx(): String =
     ensure("/tmp/graft_xlsx_corpus_v2", nXlsx, "xlsx", xlsxBytes)
@@ -254,7 +260,7 @@ object OoxmlCorpus {
   def ensureCorruptCfb(): String =
     ensure("/tmp/graft_badcfb_corpus_v3", nCorrupt, "doc", corruptCfbBytes)
   def ensureCorruptZip(): String =
-    ensure("/tmp/graft_badzip_corpus_v2", nCorrupt, "docx", corruptZipBytes)
+    ensure("/tmp/graft_badzip_corpus_v3", nCorrupt, "docx", corruptZipBytes)
   def ensureGarbage(): String =
     ensure("/tmp/graft_garbage_corpus_v1", nCorrupt, "txt", garbageBytes)
 }

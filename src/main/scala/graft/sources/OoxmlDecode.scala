@@ -359,6 +359,13 @@ object OoxmlDecode {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case ln if embedded(ln) => suppress += 1
+            // BLOCK-level content control (w:sdt outside any w:p): the
+            // reference DROPS it and everything inside — XWPF surfaces
+            // the whole SDT as one CONTENTCONTROL body element and
+            // DocumentParser.java:407-409 returns without processing.
+            // INLINE w:sdt (inside a w:p, para != null) falls through:
+            // POI's paragraph text includes inline-SDT run content.
+            case "sdt" if suppress > 0 || para == null => suppress += 1
             case _ if suppress > 0 =>
             case "p" if !inPPr =>
               para = new RawPara; container += para
@@ -408,6 +415,10 @@ object OoxmlDecode {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case ln if embedded(ln) => suppress = math.max(0, suppress - 1)
+            // symmetric with the START arm: only block-level (or
+            // nested-in-suppressed) sdt opens incremented, and inline
+            // sdt ENDs arrive with suppress == 0 (para was non-null)
+            case "sdt" if suppress > 0 => suppress -= 1
             case _ if suppress > 0 =>
             case "p" if !inPPr => para = null
             case "tbl" if tableStack.nonEmpty => tableStack.pop()

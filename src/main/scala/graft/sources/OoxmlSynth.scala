@@ -55,6 +55,22 @@ object OoxmlSynth {
     */
   final case class TextBox(hostText: String, boxText: String) extends Body
 
+  /** A BLOCK-level content control (`w:sdt` wrapping whole paragraphs
+    * in `w:sdtContent` — cover pages, SDT-wrapped TOCs): XWPF surfaces
+    * it as ONE CONTENTCONTROL body element and the reference drops it
+    * unprocessed (DocumentParser.java:407-409), so none of `ps` may
+    * reach the body.
+    */
+  final case class SdtBlock(ps: Seq[P]) extends Body
+
+  /** A paragraph with an INLINE content control between two plain
+    * runs (`w:sdt` inside `w:p` — form fields, repeating-section
+    * items): POI's paragraph text INCLUDES inline-SDT run content, so
+    * the decoded paragraph must read `before + inner + after`.
+    */
+  final case class InlineSdtP(before: String, inner: String,
+                              after: String) extends Body
+
   def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     .replace("\"", "&quot;")
@@ -91,6 +107,17 @@ object OoxmlSynth {
       tblRichXml(TblRich(
         t.rows.map(_.map(c => Seq(P.plain(c): Body))), t.style))
     case t: TblRich => tblRichXml(t)
+    case s: SdtBlock =>
+      "<w:sdt><w:sdtPr><w:alias w:val=\"block\"/></w:sdtPr>" +
+        "<w:sdtContent>" + s.ps.map(paraXml).mkString +
+        "</w:sdtContent></w:sdt>"
+    case p: InlineSdtP =>
+      def run(t: String) =
+        s"""<w:r><w:t xml:space="preserve">${esc(t)}</w:t></w:r>"""
+      "<w:p>" + run(p.before) +
+        "<w:sdt><w:sdtPr><w:alias w:val=\"inline\"/></w:sdtPr>" +
+        "<w:sdtContent>" + run(p.inner) + "</w:sdtContent></w:sdt>" +
+        run(p.after) + "</w:p>"
     case tb: TextBox =>
       val inner = paraXml(P.plain(tb.boxText))
       s"""<w:p><w:r><w:t xml:space="preserve">${esc(tb.hostText)}""" +

@@ -119,11 +119,30 @@ class OoxmlDecodeSpec extends AnyFunSuite {
     assert(paras(1).body.text ==
       s"Terms and conditions follow for document $i.\n" +
       s"1. first term of document $i\n2. second term of document $i\n" +
-      s"alpha $i\nbeta $i\ngamma $i\ndelta $i\nsigned at location $i")
+      s"alpha $i\nbeta $i\ngamma $i\ndelta $i\nsigned at location $i\n" +
+      s"approved clause $i final")
     // embedded-object parity: the text-box content appears NOWHERE —
-    // a non-skipping reader would emit it twice (Choice + Fallback)
+    // a non-skipping reader would emit it twice (Choice + Fallback) —
+    // and the BLOCK content control is dropped whole (the reference's
+    // CONTENTCONTROL early-out) while the INLINE one above is included
     val all = paras.map(p => p.header.text + "\n" + p.body.text).mkString
     assert(!all.contains("STAMP BOX"))
+    assert(!all.contains("CONTROLLED COVER"))
+  }
+
+  test("content controls: block-level w:sdt drops whole (reference " +
+      "CONTENTCONTROL early-out), inline w:sdt text is included") {
+    import OoxmlSynth.{SdtBlock, InlineSdtP}
+    val bytes = OoxmlSynth.docx(Seq(
+      P(Seq("TITLE HEAD" -> Some(true))),
+      SdtBlock(Seq(P.plain("dropped one"), P.plain("dropped two"))),
+      InlineSdtP("kept ", "inline", " tail"),
+      SdtBlock(Seq(P.plain("dropped three")))))
+    val md = OoxmlDecode.decodeDocx(bytes)
+    val paras = md.documents.head.paragraphs
+    assert(paras.size == 1, paras.map(p => (p.header.text, p.body.text)))
+    assert(paras(0).header.text == "TITLE HEAD")
+    assert(paras(0).body.text == "kept inline tail")
   }
 
   test("ECMA-376 STRICT namespaces decode identically to transitional " +

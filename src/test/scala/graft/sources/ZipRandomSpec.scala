@@ -85,6 +85,36 @@ class ZipRandomSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded randomized parity: arbitrary entry sets read " +
+      "byte-identical to the streaming walk") {
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("FUZZ_SEED", "42").toLong + 2)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(12)
+      val entries = (0 until n).map { k =>
+        val name = s"dir$k/part$k.bin"
+        val size = rnd.nextInt(100000)
+        val data = new Array[Byte](size)
+        if (rnd.nextBoolean()) rnd.nextBytes(data) // incompressible half
+        (name, data)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      for ((name, data) <- entries) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(data); zos.closeEntry()
+      }
+      zos.close()
+      val zip = bos.toByteArray
+      val streamed = OoxmlDecode.zipEntries(zip)
+      val es = ZipRandom.entries(zip)
+      assert(es.map(_.name) == entries.map(_._1), s"trial $trial")
+      for (e <- es)
+        assert(ZipRandom.read(zip, e, Long.MaxValue)
+          .sameElements(streamed(e.name)), s"trial $trial ${e.name}")
+    }
+  }
+
   test("corrupt containers error, never hang: missing EOCD, bad " +
       "offsets, truncated directory") {
     intercept[IllegalArgumentException] {
