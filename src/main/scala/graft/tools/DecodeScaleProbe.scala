@@ -196,6 +196,7 @@ object DecodeScaleProbe {
          || round | threads | best | load |
          ||---|---|---|---|
          |@LOG@
+         |
          |Pure-thread envelope (the same safeDecode fold under a plain
          |thread pool, no Spark — the host's N -> 4N ceiling for this
          |allocation-heavy workload, measured unconditionally right
