@@ -821,6 +821,13 @@ object PdfDecode {
                   case 'n' => out.write('\n')
                   case 'r' => out.write('\r')
                   case 't' => out.write('\t')
+                  case 'b' => out.write('\b')
+                  case 'f' => out.write('\f')
+                  // backslash-EOL is a line CONTINUATION (§7.3.4.2):
+                  // no character; CRLF counts as one EOL
+                  case '\r' =>
+                    if (i + 1 < data.length && data(i + 1) == '\n') i += 1
+                  case '\n' =>
                   case d if d >= '0' && d <= '7' =>
                     var oct = 0
                     var k = 0

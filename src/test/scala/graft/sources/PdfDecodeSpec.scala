@@ -250,6 +250,19 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(sts(0).name == "ООО Компания 2 0")
   }
 
+  test("literal-string escapes: octal, control shorthands and " +
+      "backslash-EOL continuation (§7.3.4.2)") {
+    def text(content: String): String =
+      PdfDecode.interpret(content.getBytes("ISO-8859-1")).lines
+        .flatMap(_.glyphs).map(_.text).mkString
+    assert(text("BT /F1 10 Tf 0 700 Td (A\\053B) Tj ET") == "A+B")
+    assert(text("BT /F1 10 Tf 0 700 Td (a\\\\b\\(c\\)) Tj ET") == "a\\b(c)")
+    // continuation: the split string reads as one, no inserted char
+    assert(text("BT /F1 10 Tf 0 700 Td (split\\\nhere) Tj ET") ==
+      "splithere")
+    assert(text("BT /F1 10 Tf 0 700 Td (crlf\\\r\nx) Tj ET") == "crlfx")
+  }
+
   test("Identity-H: two-byte CID codes through /DescendantFonts /W " +
     "decode identically to the UTF-8 convention") {
     // unit net: /W parses both §9.7.4.3 entry forms, clamps a corrupt
