@@ -2880,14 +2880,14 @@ object SparkEntry {
             + length('АО Дельта ' || w || ' 5')
             + length('АО Дельта ' || w || ' 6')
             + length('ПАО Омега ' || w))::INT
-         FROM range(12) t(w)""",
+         FROM range(13) t(w)""",
 
     // q64: real PDFs; the 9 stakeholders per filing are closed-form —
     // 3 data rows, the cross-page-stitched one, 4 single-reason rows,
     // and the end-of-pages held-row flush (shares kept as the exact
     // BigDecimal strings the share parser produces)
     "q64_pdf_decode" ->
-      """WITH f AS (SELECT i::INT AS file_id FROM range(12) t(i))
+      """WITH f AS (SELECT i::INT AS file_id FROM range(13) t(i))
          SELECT file_id, r::INT AS s_idx,
                 'ООО Компания ' || file_id || ' ' || r AS name,
                 '25.' || r AS share,

@@ -175,10 +175,10 @@ object OoxmlCorpus {
   def ensureXls(): String =
     ensure("/tmp/graft_xls_corpus_v4", nXlsx, "xls", xlsBytes)
 
-  val nPdf = 12
+  val nPdf = 13
 
   /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
-    * cycling the twelve real-world convention variants — all must
+    * cycling the thirteen real-world convention variants — all must
     * decode to the same 9 stakeholders (one oracle over the union):
     * w%11==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
     * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
@@ -197,9 +197,12 @@ object OoxmlCorpus {
     * layout (letterspaced-condensed: constant-800 /Widths with
     * Tc=0.2*size and Tz 50 — the same displayed geometry, but a
     * decoder skipping the §9.4.4 spacing terms overshoots every
-    * advance by 60% and mis-bins glyphs into neighboring cells).
+    * advance by 60% and mis-bins glyphs into neighboring cells);
+    * 12 kerning-jump TJ rows (each table row ONE TJ array whose
+    * number operands position the cells — a decoder ignoring TJ
+    * adjustments collapses every cell onto column one).
     */
-  def pdfBytes(w: Int): Array[Byte] = w % 12 match {
+  def pdfBytes(w: Int): Array[Byte] = w % 13 match {
     case 0 => PdfSynth.stakeholderPdf(w, compress = true)
     case 1 => PdfSynth.stakeholderPdf(w)
     case 2 => PdfSynth.stakeholderPdf(w, compress = true, scale = 2f)
@@ -211,11 +214,12 @@ object OoxmlCorpus {
     case 8 => PdfSynth.stakeholderPdf(w, predictor = true)
     case 9 => PdfSynth.stakeholderPdf(w, cmapEncoded = true)
     case 10 => PdfSynth.stakeholderPdf(w, identityH = true)
-    case _ => PdfSynth.stakeholderPdf(w, textState = true)
+    case 11 => PdfSynth.stakeholderPdf(w, textState = true)
+    case _ => PdfSynth.stakeholderPdf(w, tjRows = true)
   }
 
   def ensurePdf(): String =
-    ensure("/tmp/graft_pdf_corpus_v8", nPdf, "pdf", pdfBytes)
+    ensure("/tmp/graft_pdf_corpus_v9", nPdf, "pdf", pdfBytes)
 
   // ---------- q69: deterministic corrupt corpora ----------
   //

@@ -73,12 +73,12 @@ import scala.collection.mutable.ArrayBuffer
   * by a fixed 0.5 * fontSize per char; non-Identity CID encodings
   * (predefined CMaps like /UniGB-UCS2-H, §9.7.5.2) are not decoded —
   * code bytes follow Identity-H's fixed two-byte convention only.
-  * The synthesized q64 corpus ([[PdfSynth]]) cycles twelve convention
-  * variants (plain, Flate, cm-scaled, hex-string, /Widths metrics,
-  * ObjStm+XRef-stream, ASCIIHex+Flate filter chain, /Rotate 90
-  * landscape, Predictor-12 Flate, ToUnicode-CMap custom encoding,
-  * Identity-H two-byte CIDs, Tc/Tz letterspaced-condensed), so the
-  * decode oracle covers each.
+  * The synthesized q64 corpus ([[PdfSynth]]) cycles thirteen
+  * convention variants (plain, Flate, cm-scaled, hex-string, /Widths
+  * metrics, ObjStm+XRef-stream, ASCIIHex+Flate filter chain,
+  * /Rotate 90 landscape, Predictor-12 Flate, ToUnicode-CMap custom
+  * encoding, Identity-H two-byte CIDs, Tc/Tz letterspaced-condensed,
+  * kerning-jump TJ rows), so the decode oracle covers each.
   */
 object PdfDecode {
 

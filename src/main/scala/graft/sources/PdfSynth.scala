@@ -49,9 +49,37 @@ object PdfSynth {
 
   final class Content(scale: Float = 1f, hexStrings: Boolean = false,
                       cmap: CmapCodes = null,
-                      textState: Boolean = false) {
+                      textState: Boolean = false,
+                      val tjRows: Boolean = false) {
     private val sb = new StringBuilder
     private def fmt(v: Float): String = f"${v / scale}%.1f"
+    private def lit(s: String): String =
+      "(" + s.replace("\\", "\\\\").replace("(", "\\(")
+        .replace(")", "\\)") + ")"
+
+    /** One whole table row as a SINGLE `TJ` array: the chunks are
+      * positioned by KERNING jumps (negative adjustments move right by
+      * adj/1000*size, §9.4.3) computed against the 0.5*size/char
+      * fallback advance — the way many real writers emit table rows
+      * (one BT, one TJ, kerning jumps between cells). The displayed
+      * geometry is byte-for-byte the per-cell-Td variants'; a decoder
+      * that ignores TJ number operands collapses all cells onto column
+      * one and fails cell assignment.
+      */
+    def textRowTJ(y: Float, size: Float,
+                  cells: Seq[(Float, String)]): Content = {
+      require(scale == 1f && cmap == null && !hexStrings && !textState,
+        "tjRows composes with the plain convention only")
+      sb ++= s"BT /F1 ${fmt(size)} Tf ${fmt(cells.head._1)} ${fmt(y)} Td [ "
+      var cur = cells.head._1
+      for (((x, s), idx) <- cells.zipWithIndex) {
+        if (idx > 0) sb ++= f"${-(x - cur) / size * 1000f}%.1f "
+        sb ++= lit(s) + " "
+        cur = x + s.length * 0.5f * size
+      }
+      sb ++= "] TJ ET\n"
+      this
+    }
     def text(x: Float, y: Float, size: Float, s: String): Content = {
       val op =
         if (cmap != null)
@@ -407,12 +435,17 @@ object PdfSynth {
     c
   }
 
-  /** Write one table row (cells at font 6, inside row r's band). */
+  /** Write one table row (cells at font 6, inside row r's band) —
+    * per-cell Td texts, or one kerning-jump TJ array when the content
+    * is in tjRows mode.
+    */
   private def row(c: Content, r: Int, cells: Seq[String]): Content = {
     val y = hys(r) - 20f
-    for ((s, col) <- cells.zipWithIndex if s.nonEmpty)
-      c.text(vxs(col) + 3f, y, 6f, s)
-    c
+    val placed = cells.zipWithIndex.collect {
+      case (s, col) if s.nonEmpty => (vxs(col) + 3f, s)
+    }
+    if (c.tjRows && placed.nonEmpty) c.textRowTJ(y, 6f, placed)
+    else { for ((x, s) <- placed) c.text(x, y, 6f, s); c }
   }
 
   /** The q64 stakeholder filing for id i: page 1 carries the start
@@ -434,12 +467,14 @@ object PdfSynth {
                      predictor: Boolean = false,
                      cmapEncoded: Boolean = false,
                      identityH: Boolean = false,
-                     textState: Boolean = false): Array[Byte] = {
+                     textState: Boolean = false,
+                     tjRows: Boolean = false): Array[Byte] = {
     val cmapCodes =
       if (identityH) new CmapCodes(wide = true)
       else if (cmapEncoded) new CmapCodes
       else null
-    def content = new Content(scale, hexStrings, cmapCodes, textState)
+    def content =
+      new Content(scale, hexStrings, cmapCodes, textState, tjRows)
     val p1 = content
     p1.text(30f, 750f, 10f, "Состав аффилированных лиц")
     grid(p1)

@@ -25,7 +25,8 @@ class DecodeFuzzSpec extends AnyFunSuite {
     "pdf-predictor" -> OoxmlCorpus.pdfBytes(8),
     "pdf-cmap" -> OoxmlCorpus.pdfBytes(9),
     "pdf-cid" -> OoxmlCorpus.pdfBytes(10),
-    "pdf-textstate" -> OoxmlCorpus.pdfBytes(11))
+    "pdf-textstate" -> OoxmlCorpus.pdfBytes(11),
+    "pdf-tjrows" -> OoxmlCorpus.pdfBytes(12))
 
   private def total(name: String, bytes: Array[Byte]): Unit = {
     val r = BinaryDispatch.safeDecode(bytes)

@@ -263,6 +263,29 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(text("BT /F1 10 Tf 0 700 Td (crlf\\\r\nx) Tj ET") == "crlfx")
   }
 
+  test("kerning-jump TJ rows: one TJ array per table row decodes to " +
+      "the same stakeholders; ignoring the jumps would collapse columns") {
+    val sts = PdfTable.parseStakeholderPages(
+      PdfDecode.pages(PdfSynth.stakeholderPdf(5, tjRows = true)), 612f)
+    assert(sts.size == 9, sts.map(_.name))
+    assert(sts(0).name == "ООО Компания 5 0" && sts(0).share != null)
+    assert(sts(8).name == "ПАО Омега 5")
+    // discrimination: strip the number operands from every TJ array —
+    // what a TJ-adjustment-ignoring decoder computes — and the glyph
+    // line span collapses to adjacent text (columns lost)
+    val c = new PdfSynth.Content(tjRows = true)
+    c.textRowTJ(500f, 6f, Seq((23f, "abc"), (171f, "def")))
+    val full = PdfDecode.interpret(c.bytes)
+    val stripped = new String(c.bytes, "ISO-8859-1")
+      .replaceAll("""[-\d.]+ \(""", "(")
+    val flat = PdfDecode.interpret(stripped.getBytes("ISO-8859-1"))
+    def startXs(p: graft.core.PdfTable.Page) =
+      p.lines.flatMap(_.glyphs).map(_.x)
+    assert(math.abs(startXs(full)(3) - 171f) < 0.01f, // 'd' at column 2
+      startXs(full).toString)
+    assert(startXs(flat)(3) < 40f, "stripped TJ must collapse columns")
+  }
+
   test("Identity-H: two-byte CID codes through /DescendantFonts /W " +
     "decode identically to the UTF-8 convention") {
     // unit net: /W parses both §9.7.4.3 entry forms, clamps a corrupt
