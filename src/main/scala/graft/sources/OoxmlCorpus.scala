@@ -156,15 +156,18 @@ object OoxmlCorpus {
     * big-SST layout — and must decode identically.
     */
   def xlsBytes(w: Int): Array[Byte] = {
-    import XlsSynth.{SCell, RkCell, FCell}
+    import XlsSynth.{SCell, RkCell, FCell, LCell}
     // FCell = the same type-confusion trap as the XLSX corpus: a
     // Formula record whose cached String-record text matches the name
-    // column — POI surfaces it as FORMULA, so E1/E2 must skip it
+    // column — POI surfaces it as FORMULA, so E1/E2 must skip it.
+    // The 'Иванов' cell rides as an inline-string Label record (the
+    // pre-SST layout) — a decoder without 0x0204 drops the person
+    // column of that row and fails the q63 oracle.
     XlsSynth.xlsTyped(Seq(
       s"Выписка 15.03.${2020 + w}" -> Seq(
         Seq(SCell("Наименование"),
           SCell("Наименование компании и ФИО владельца")),
-        Seq(SCell(s"ООО Фирма $w-1"), SCell(s"Иванов И.$w")),
+        Seq(SCell(s"ООО Фирма $w-1"), LCell(s"Иванов И.$w")),
         Seq(FCell("CONCATENATE(A2)", s"ООО Фальшь $w")),
         Seq(SCell(s"АО Завод $w-2"), SCell(s"Петров П.$w")),
         Seq(RkCell(123.45), RkCell(-7.0), RkCell(0.07)), // one MulRk
@@ -173,7 +176,7 @@ object OoxmlCorpus {
   }
 
   def ensureXls(): String =
-    ensure("/tmp/graft_xls_corpus_v4", nXlsx, "xls", xlsBytes)
+    ensure("/tmp/graft_xls_corpus_v5", nXlsx, "xls", xlsBytes)
 
   val nPdf = 13
 

@@ -202,6 +202,15 @@ object XlsDecode {
             val isst = i32(wb, r.off + 6)
             cells += ((rw, colIdx, "STRING",
               if (isst >= 0 && isst < sst.length) sst(isst) else ""))
+          case 0x0204 => // Label (MS-XLS 2.4.148): the inline-string
+            // cell pre-SST converters still emit inside BIFF8 files —
+            // POI surfaces it as a STRING cell exactly like LabelSst
+            val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
+            val cch = u16(wb, r.off + 6)
+            val high = (wb(r.off + 8) & 0x01) != 0
+            cells += ((rw, colIdx, "STRING",
+              new RecSpan(wb, IndexedSeq((r.off + 9, r.off + r.len)))
+                .chars(cch, high)))
           case 0x0203 => // Number
             val rw = u16(wb, r.off); val colIdx = u16(wb, r.off + 2)
             cells += ((rw, colIdx, "NUMERIC", f64(wb, r.off + 6).toString))

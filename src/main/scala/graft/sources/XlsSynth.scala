@@ -44,6 +44,12 @@ object XlsSynth {
     */
   final case class FCell(formula: String, cached: String) extends XCell
 
+  /** An inline-string Label cell (MS-XLS 2.4.148) — the pre-SST layout
+    * old converters still emit inside BIFF8 files; POI surfaces it as
+    * a STRING cell exactly like LabelSst.
+    */
+  final case class LCell(s: String) extends XCell
+
   /** RK encoding of a double (MS-XLS 2.5.276): prefer the 30-bit
     * integer form, then integer-x100 (fDiv100), then the truncated-
     * double form (exact only when the low 34 mantissa bits are zero);
@@ -129,6 +135,14 @@ object XlsSynth {
             case SCell(v) =>
               out.write(rec(0x00FD,
                 u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ i32(sstIndex(v))))
+              colIdx += 1
+            case LCell(v) =>
+              val high = v.exists(_ > 0xFF)
+              out.write(rec(0x0204,
+                u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++ u16(v.length) ++
+                  Array[Byte](if (high) 1 else 0) ++
+                  (if (high) v.getBytes("UTF-16LE")
+                   else v.getBytes("ISO-8859-1"))))
               colIdx += 1
             case FCell(formula, cached) =>
               val rgce = formula.getBytes("ISO-8859-1")

@@ -51,6 +51,16 @@ class XlsDecodeSpec extends AnyFunSuite {
       Seq(("NUMERIC", "2.5"))))
   }
 
+  test("inline Label (0x0204) cells decode as STRING exactly like " +
+      "LabelSst (cp1252 and UTF-16 forms)") {
+    import XlsSynth.{SCell, LCell}
+    val sheets = XlsDecode.decodeXls(XlsSynth.xlsTyped(Seq("S" -> Seq(
+      Seq(SCell("via sst"), LCell("inline latin"), LCell("Кириллица"))))))
+    assert(sheets.head.rows.head.cells.map(c => (c.cellType, c.value)) ==
+      Seq(("STRING", "via sst"), ("STRING", "inline latin"),
+        ("STRING", "Кириллица")))
+  }
+
   test("q63 numeric and formula rows are typed NUMERIC/FORMULA and " +
       "invisible to the STRING-only beneficiary scan (F9)") {
     val sheets = XlsDecode.decodeXls(OoxmlCorpus.xlsBytes(3))
