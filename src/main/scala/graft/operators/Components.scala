@@ -63,32 +63,126 @@ object Components {
     * is the minimum id of the node's component (the usual canonical
     * label — deterministic and stable under repartitioning).
     *
-    * `maxRounds` bounds the alternation; on non-convergence the call
-    * THROWS rather than returning a partially-contracted labeling
-    * (silently wrong groups would drop the wrong documents). The
-    * O(log^2 n) bound makes 30 rounds astronomically more than any real
-    * graph needs.
+    * Execution is SIZE-ADAPTIVE (guide §1.2: the distributed algorithm
+    * is the lever): the canonical distinct edge set is counted first,
+    * and a graph at-or-under `spark.graft.cc.localEdgeThreshold` edges
+    * (default 2^22 ≈ 67 MB of (long, long) rows — comfortably
+    * driver-sized, the same bounded-collect discipline as broadcast
+    * joins and [[Similarity.samplePivots]]) is labeled by one driver
+    * union-find over the collected edges instead of 2-4 alternation
+    * rounds of 2 shuffles + checkpoint + checksum each (~25 Spark jobs
+    * at smoke scale, measured: q45 wall 4.1 s → the local path removes
+    * the whole loop). Dedup pair graphs sit far below the threshold
+    * even at corpus scale (edges ≈ verified near-dup pairs of
+    * *representatives*); a graph beyond it takes the distributed
+    * alternation unchanged. Set the threshold conf to 0 to force the
+    * distributed path everywhere. Labels are identical on both paths
+    * (union-by-min + path compression ⇒ root = component minimum;
+    * pinned by ComponentsSpec's local-vs-distributed test).
+    *
+    * `maxRounds` bounds the distributed alternation; on non-convergence
+    * the call THROWS rather than returning a partially-contracted
+    * labeling (silently wrong groups would drop the wrong documents).
+    * The O(log^2 n) bound makes 30 rounds astronomically more than any
+    * real graph needs.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b",
-                          maxRounds: Int = 30): DataFrame =
-    connectedComponentsWithStats(pairs, idACol, idBCol, maxRounds)._1
+                          maxRounds: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    val threshold = spark.conf
+      .getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong).getOrElse(1L << 22)
+    if (threshold <= 0)
+      return connectedComponentsWithStats(pairs, idACol, idBCol, maxRounds)._1
+    val edges = canonicalEdges(pairs, idACol, idBCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = edges.count()
+      if (n <= threshold) localLabels(spark, edges.collect().map(r =>
+        (r.getLong(0), r.getLong(1))))
+      else distributedLabels(edges, maxRounds)._1
+    } finally edges.unpersist()
+  }
 
-  /** [[connectedComponents]] plus its [[CcStats]] round telemetry. The
-    * loop is driver-stepped (each round's convergence checksum is an
-    * action), so the stats are exact and cost nothing extra.
+  /** Driver union-find labeling of a bounded canonical edge list —
+    * union-by-min roots + path compression, so every root IS its
+    * component's minimum id (the same canonical label as the
+    * distributed alternation). Output schema matches the distributed
+    * path: (id LONG, component LONG).
     */
-  def connectedComponentsWithStats(pairs: DataFrame, idACol: String = "id_a",
-                                   idBCol: String = "id_b",
-                                   maxRounds: Int = 30): (DataFrame, CcStats) = {
-    // canonical directed edge (hi > lo); self-loops dropped
-    var edges = pairs
-      .select(col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
+  private def localLabels(spark: org.apache.spark.sql.SparkSession,
+                          edges: Array[(Long, Long)]): DataFrame = {
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.max(16, edges.length * 2))
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent(x)
+      while (p != x) { // path halving
+        val gp = parent(p)
+        parent(x) = gp
+        x = gp
+        p = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (hi, lo) =>
+      parent.getOrElseUpdate(hi, hi)
+      parent.getOrElseUpdate(lo, lo)
+      val rh = find(hi)
+      val rl = find(lo)
+      if (rh != rl) { // union by min: the smaller root wins
+        if (rh < rl) parent(rl) = rh else parent(rh) = rl
+      }
+    }
+    val out = new Array[org.apache.spark.sql.Row](parent.size)
+    var i = 0
+    parent.foreachKey { id =>
+      out(i) = org.apache.spark.sql.Row(id, find(id))
+      i += 1
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
+  /** Canonical directed edge set (hi > lo), self-loops dropped. */
+  private def canonicalEdges(pairs: DataFrame, idACol: String,
+                             idBCol: String): DataFrame =
+    pairs
+      .select(col(idACol).cast("long").as("a"),
+        col(idBCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** [[connectedComponents]] plus its [[CcStats]] round telemetry —
+    * ALWAYS the distributed alternation (the telemetry surface exists to
+    * observe its convergence; the size-adaptive local path lives on
+    * [[connectedComponents]]). The loop is driver-stepped (each round's
+    * convergence checksum is an action), so the stats are exact and
+    * cost nothing extra.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, idACol: String = "id_a",
+                                   idBCol: String = "id_b",
+                                   maxRounds: Int = 30): (DataFrame, CcStats) =
+    distributedLabels(
+      canonicalEdges(pairs, idACol, idBCol)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      maxRounds)
+
+  /** The alternating large-star/small-star loop over a persisted
+    * canonical edge set (takes ownership: the input's persist is
+    * released as rounds advance).
+    */
+  private def distributedLabels(canonical: DataFrame,
+                                maxRounds: Int): (DataFrame, CcStats) = {
+    var edges = canonical
 
     // (count, xor-of-hashes): order-independent, overflow-free (ANSI-safe),
     // and collision-proof against duplicate cancellation because the edge

@@ -118,14 +118,32 @@ object Similarity {
     * array, so trained and sampled quantizers are interchangeable.
     */
   def samplePivots(df: DataFrame, vecCol: String, idCol: String,
-                   nlist: Int, salt: String = "graft-ivf"): Array[Array[Double]] =
-    df.select(col(vecCol).cast("array<double>").as("v"),
-        md5(concat(col(idCol).cast("string"), lit(salt))).as("_h"),
+                   nlist: Int, salt: String = "graft-ivf"): Array[Array[Double]] = {
+    // Two-phase (guide §2.3 — shuffle/scan keys, not payloads): the
+    // hash-order winners are decided on (id, md5) ALONE, so the first
+    // pass never evaluates the vector column — which matters when
+    // vecCol is a derived expression (q74 dequantize∘quantize: the old
+    // single-pass form ran that interpreted HOF chain corpus-wide just
+    // to discard all but nlist rows) and lets parquet prune the
+    // embedding bytes from the scan. The second pass computes vectors
+    // for exactly the nlist winners (an isin-pushed point lookup).
+    // Identical result for unique ids: same (md5, id) order, same rows.
+    val winners = df
+      .select(md5(concat(col(idCol).cast("string"), lit(salt))).as("_h"),
         col(idCol).as("_id"))
       .orderBy(col("_h"), col("_id"))
       .limit(nlist)
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+    if (winners.isEmpty) return Array.empty
+    val ids = winners.map(_.get(1))
+    val byId = df
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("v"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    winners.map(r => byId(r.get(1)))
+  }
 
   /** Inverted-list assignment: index of the pivot with minimum cosine
     * distance (ties -> lowest pivot index). Codegen'd transform chain
