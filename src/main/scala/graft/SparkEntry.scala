@@ -16,8 +16,43 @@ import graft.pipeline.{ExtractPipeline, Transcripts}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Table scan with size-adaptive input spreading (guide §2.5, input
+    * skew): a small single-file parquet table scans as ONE split (file
+    * size < the openCost packing floor), so every pre-shuffle map stage
+    * — exactly where the regex/tokenize/vector kernels run — executes
+    * on one core no matter how many the session has. Such inputs are
+    * repartitioned right after the read (round-robin, to the session's
+    * default parallelism — scale-adaptive, not a constant). The spread
+    * is gated on TOTAL INPUT BYTES, so a production-scale table (many
+    * files / many row groups, already split-parallel) never pays a
+    * payload shuffle: only inputs small enough that the shuffle is
+    * trivially cheap (< 32 MB) qualify.
+    *
+    * `lineitem` is EXCLUDED: q01's `round(sum(price*(1-disc)), 2)` is a
+    * float sum whose 2dp-rounded value changes with summation order
+    * (measured: one cent at sf0.001 — Spark then disagrees with the
+    * DuckDB oracle), so that scan must keep its deterministic
+    * single-split order. Every other table × query surface was proven
+    * order-insensitive by exact result-hash equality at sf0.001 /
+    * sf0.01 / sf0.1 plus the DuckDB compare (FAILURES: 0).
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    if (name == "lineitem") return df
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Exception => Long.MaxValue }
+    if (bytes < (32L << 20)) df.repartition(s.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** Persisted deterministic transcript table for the q26/q27 oracles:
     * BOTH sides read the same parquet — Spark runs the extraction kernel
@@ -1007,8 +1042,18 @@ object SparkEntry {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_q79_ckpt").toString
       // file streaming sources need an explicit schema; binaryFile's is
-      // fixed, so one batch probe of the first dir provides it
-      val schema = s.read.format("binaryFile").load(dirs.head).schema
+      // FIXED by the format (path, modificationTime, length, content —
+      // BinaryFileFormat.schema), so state it literally instead of
+      // paying a batch listing probe per call
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
       val files = dirs
         .map(d => s.readStream.format("binaryFile").schema(schema).load(d))
         .reduce(_ unionByName _)

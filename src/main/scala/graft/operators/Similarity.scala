@@ -411,17 +411,36 @@ object Similarity {
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
                pivots: Array[Array[Double]], tau: Double = 0.95,
                maxCluster: Int = 1 << 20): DataFrame = {
+    // the assignment (nlist interpreted pivot cosines per row) is
+    // materialized ONCE: both sides of the cluster-local self-join read
+    // the checkpoint instead of re-running listAssign per side (eager
+    // localCheckpoint, the [[Dedup.collapse]] lifecycle discipline).
+    // Each row also carries its own l2 norm: the O(c²) pair stage then
+    // pays ONE dot product per pair instead of three — sqrt(dot(v,v))
+    // per row is the same IEEE value whether computed per row or per
+    // pair, and the pair-level n = norm_a * norm_b multiplication is
+    // unchanged, so cosine values (and the 6dp-rounded compare) are
+    // bit-identical to the [[cosine]] form (pinned by IvfSpec).
     val assigned = ivfIndex(df.select(col(idCol), col(vecCol)), vecCol, pivots)
+      .withColumn("_vd", col(vecCol).cast("array<double>"))
+      .withColumn("_nrm", l2norm(col("_vd")))
+      .drop(vecCol) // _vd supersedes it; halves the checkpoint bytes
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("list_id").orderBy(col(idCol))
     val keepers = assigned
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= maxCluster)
       .select(col("list_id"), col(idCol).as("_keep_id"),
-        col(vecCol).as("_keep_vec"))
+        col("_vd").as("_keep_vd"), col("_nrm").as("_keep_nrm"))
+    val pairCos = {
+      val n = col("_nrm") * col("_keep_nrm")
+      when(n === 0, lit(0.0))
+        .otherwise(graft.functions.DotProduct.dotCol(col("_vd"),
+          col("_keep_vd")) / n)
+    }
     val drops = assigned.join(keepers, "list_id")
-      .where(col(idCol) > col("_keep_id") &&
-        round(cosine(col(vecCol), col("_keep_vec")), 6) >= tau)
+      .where(col(idCol) > col("_keep_id") && round(pairCos, 6) >= tau)
       .select(col(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
