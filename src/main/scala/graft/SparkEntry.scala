@@ -154,7 +154,14 @@ object SparkEntry {
     }),
 
     "q02_top_customers" -> ((s, dir) => {
+      // lineitem is exempt from t()'s spread for q01's sake (global-sum
+      // order); q02's per-customer sums survive reordering (proven by
+      // exact result-hash equality at all three SFs + the DuckDB
+      // compare), so this scan spreads explicitly — the 11 MB
+      // single-split file otherwise runs scan+joins+partial agg on one
+      // core
       val li = t(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -183,7 +183,7 @@ object OoxmlCorpus {
   /** The q64 stakeholder PDF for id w ([[PdfSynth.stakeholderPdf]]),
     * cycling the thirteen real-world convention variants — all must
     * decode to the same 9 stakeholders (one oracle over the union):
-    * w%11==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
+    * w%13==0 FlateDecode; 1 uncompressed; 2 Flate + `cm`-scaled content
     * (coords halved under a q 2 0 0 2 0 0 cm — only a CTM-folding
     * decoder recovers the geometry); 3 hex-string `<...>` operands;
     * 4 /FirstChar+/Widths font metrics (per-glyph advances); 5 PDF 1.5

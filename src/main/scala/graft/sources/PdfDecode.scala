@@ -502,7 +502,12 @@ object PdfDecode {
   private[sources] def parseToUnicode(data: Array[Byte]): Map[Int, String] = {
     val s = new String(data, "ISO-8859-1")
     val out = Map.newBuilder[Int, String]
-    def utf16(hex: String): String = {
+    def utf16(hex0: String): String = {
+      // some real-world generators emit 2-digit bfchar destinations
+      // (<41>): left-pad to one UTF-16 code unit instead of silently
+      // dropping the glyph (ADVICE r05)
+      val hex = if (hex0.length >= 4) hex0
+        else "0" * (4 - hex0.length) + hex0
       val n = hex.length / 4 * 4
       val cs = new Array[Char](n / 4)
       var i = 0
@@ -649,9 +654,14 @@ object PdfDecode {
       .findFirstMatchIn(d).flatMap(_.group(1).toFloatOption))
       .getOrElse(1000f)
     val w = desc.flatMap { d =>
-      val at = d.indexOf("/W")
-      // /W must be its own name token — not the /Widths prefix
-      if (at < 0 || (at + 2 < d.length && d.charAt(at + 2).isLetter)) None
+      // /W must be its own name token — not the /Widths prefix and not
+      // /W2 (vertical metrics, §9.7.4.3 — a digit follows; ADVICE r05):
+      // skip non-token occurrences instead of rejecting outright so a
+      // dict carrying /W2 before /W still yields its horizontal widths
+      var at = d.indexOf("/W")
+      while (at >= 0 && at + 2 < d.length && d.charAt(at + 2).isLetterOrDigit)
+        at = d.indexOf("/W", at + 2)
+      if (at < 0) None
       else {
         val tail = d.substring(at + 2)
         bareRefRe.findFirstMatchIn(tail) match {

@@ -247,6 +247,13 @@ object XlsDecode {
                   (wb(r.off + 13) & 0xFF) == 0xFF) {
                 (wb(r.off + 6) & 0xFF) match {
                   case 0 =>
+                    // an Array (0x0221), ShrFmla (0x04BC) or Table
+                    // (0x0236) record may sit between the Formula and
+                    // its String record (MS-XLS 2.4.268; ADVICE r05) —
+                    // skip them so the cached text is not lost
+                    while (sit.hasNext && (sit.head.sid == 0x0221 ||
+                        sit.head.sid == 0x04BC || sit.head.sid == 0x0236))
+                      sit.next()
                     if (sit.hasNext && sit.head.sid == 0x0207) {
                       val s = sit.next() // String: XLUnicodeString body
                       val cch = u16(wb, s.off)

@@ -44,6 +44,14 @@ object XlsSynth {
     */
   final case class FCell(formula: String, cached: String) extends XCell
 
+  /** [[FCell]] with a ShrFmla record (MS-XLS 2.4.269) interposed
+    * between the Formula and its String record — the shared-formula
+    * layout Excel emits for fill-down ranges (an Array 0x0221 or Table
+    * 0x0236 can sit there too; ADVICE r05). The cached text must
+    * survive the interposition.
+    */
+  final case class FCellShared(formula: String, cached: String) extends XCell
+
   /** An inline-string Label cell (MS-XLS 2.4.148) — the pre-SST layout
     * old converters still emit inside BIFF8 files; POI surfaces it as
     * a STRING cell exactly like LabelSst.
@@ -118,6 +126,32 @@ object XlsSynth {
     * and the q63 corpus exercise split strings without megabytes of
     * text.
     */
+  /** Formula (string-sentinel FormulaValue) + cached String record;
+    * `shared = true` interposes a ShrFmla record between them (the
+    * fill-down layout, MS-XLS 2.4.268/2.4.269).
+    */
+  private def writeFormula(out: ByteArrayOutputStream, rw: Int, colIdx: Int,
+                           formula: String, cached: String,
+                           shared: Boolean): Unit = {
+    val rgce = formula.getBytes("ISO-8859-1")
+    out.write(rec(0x0006,
+      u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, -1, -1) ++ // string sentinel
+        u16(0) ++ i32(0) ++ u16(rgce.length) ++ rgce))
+    if (shared)
+      // ShrFmla: ref (rwFirst, rwLast, colFirst, colLast), reserved,
+      // cUse, cce = 0 (empty shared rgce — the decoder skips by sid)
+      out.write(rec(0x04BC,
+        u16(rw) ++ u16(rw) ++ Array[Byte](colIdx.toByte, colIdx.toByte,
+          0, 1) ++ u16(0)))
+    val high = cached.exists(_ > 0xFF)
+    out.write(rec(0x0207,
+      u16(cached.length) ++
+        Array[Byte](if (high) 1 else 0) ++
+        (if (high) cached.getBytes("UTF-16LE")
+         else cached.getBytes("ISO-8859-1"))))
+  }
+
   def xlsTyped(sheets: Seq[(String, Seq[Seq[XCell]])],
                sstCap: Int = 8224): Array[Byte] = {
     val allStrings = sheets.flatMap(_._2.flatten).collect { case SCell(s) => s }
@@ -145,17 +179,10 @@ object XlsSynth {
                    else v.getBytes("ISO-8859-1"))))
               colIdx += 1
             case FCell(formula, cached) =>
-              val rgce = formula.getBytes("ISO-8859-1")
-              out.write(rec(0x0006,
-                u16(rw) ++ u16(colIdx) ++ u16(0x000F) ++
-                  Array[Byte](0, 0, 0, 0, 0, 0, -1, -1) ++ // string sentinel
-                  u16(0) ++ i32(0) ++ u16(rgce.length) ++ rgce))
-              val high = cached.exists(_ > 0xFF)
-              out.write(rec(0x0207,
-                u16(cached.length) ++
-                  Array[Byte](if (high) 1 else 0) ++
-                  (if (high) cached.getBytes("UTF-16LE")
-                   else cached.getBytes("ISO-8859-1"))))
+              writeFormula(out, rw, colIdx, formula, cached, shared = false)
+              colIdx += 1
+            case FCellShared(formula, cached) =>
+              writeFormula(out, rw, colIdx, formula, cached, shared = true)
               colIdx += 1
             case RkCell(_) =>
               var end = colIdx

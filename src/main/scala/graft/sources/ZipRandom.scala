@@ -42,7 +42,14 @@ object ZipRandom {
     }
     require(eocd >= 0, "no zip end-of-central-directory record")
     val count = u16(bytes, eocd + 10)
-    val cdOff = u32(bytes, eocd + 16)
+    val cdSize = u32(bytes, eocd + 12)
+    // prepended-data compensation (ADVICE r05): a self-extracting or
+    // prefix-padded archive records offsets relative to the archive
+    // START, which sits `delta` bytes into the file; java.util.zip
+    // applies the same shift (eocd - (cdOff + cdSize)). delta = 0 for
+    // a plain zip; negative deltas (lying EOCD) fail the range checks.
+    val delta = eocd - (u32(bytes, eocd + 16) + cdSize)
+    val cdOff = u32(bytes, eocd + 16) + delta
     require(cdOff >= 0 && cdOff <= bytes.length - 4,
       "central directory offset out of range")
     val out = Vector.newBuilder[Entry]
@@ -51,15 +58,20 @@ object ZipRandom {
     while (k < count) {
       require(p + 46 <= bytes.length, "truncated central directory")
       require(u32(bytes, p) == 0x02014B50L, "bad central header signature")
+      val flags = u16(bytes, p + 8)
       val method = u16(bytes, p + 10)
       val csize = u32(bytes, p + 20)
       val usize = u32(bytes, p + 24)
       val nameLen = u16(bytes, p + 28)
       val extraLen = u16(bytes, p + 30)
       val commentLen = u16(bytes, p + 32)
-      val localOff = u32(bytes, p + 42)
+      val localOff = u32(bytes, p + 42) + delta
       require(p + 46 + nameLen <= bytes.length, "truncated entry name")
-      val name = new String(bytes, p + 46, nameLen, "UTF-8")
+      // EFS flag (bit 11) = UTF-8 names; otherwise CP437 per APPNOTE
+      // §D.1 (ADVICE r05). ASCII names decode identically either way.
+      val name = new String(bytes, p + 46, nameLen,
+        if ((flags & 0x800) != 0) java.nio.charset.StandardCharsets.UTF_8
+        else cp437)
       if (!name.endsWith("/")) // directories carry no data
         out += Entry(name, method, csize, usize, localOff)
       p += 46 + nameLen + extraLen + commentLen
@@ -67,6 +79,14 @@ object ZipRandom {
     }
     out.result()
   }
+
+  /** CP437, the legacy zip name encoding; UTF-8 fallback if the JRE
+    * lacks the charset (ASCII — every OPC name — is identical in both).
+    */
+  private lazy val cp437: java.nio.charset.Charset =
+    if (java.nio.charset.Charset.isSupported("IBM437"))
+      java.nio.charset.Charset.forName("IBM437")
+    else java.nio.charset.StandardCharsets.UTF_8
 
   /** Inflate (or copy) exactly one entry, output capped at `cap`. The
     * LOCAL header's name/extra lengths are re-read — they may differ

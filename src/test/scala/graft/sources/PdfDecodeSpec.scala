@@ -405,4 +405,11 @@ class PdfDecodeSpec extends AnyFunSuite {
     assert(sts(8).reasons.map(_.date.toString).toSeq == Seq("2019-12-31"))
     assert(sts(8).share == BigDecimal("100"))
   }
+
+  test("2-digit bfchar destinations left-pad to one UTF-16 code unit " +
+      "instead of dropping the glyph (ADVICE r05)") {
+    val cmap = PdfDecode.parseToUnicode(
+      "1 beginbfchar\n<01> <41>\nendbfchar\n".getBytes("ISO-8859-1"))
+    assert(cmap(0x01) == "A")
+  }
 }

@@ -105,4 +105,15 @@ class XlsDecodeSpec extends AnyFunSuite {
       XlsDecode.decodeXls(DocSynth.cfb(Seq("Other" -> new Array[Byte](4096))))
     }
   }
+
+  test("cached formula text survives an interposed ShrFmla record " +
+      "(MS-XLS 2.4.268; ADVICE r05)") {
+    import XlsSynth.{FCell, FCellShared}
+    val sheets = XlsDecode.decodeXls(XlsSynth.xlsTyped(Seq("S" -> Seq(
+      Seq(FCellShared("CONCATENATE(A1)", "shared cached")),
+      Seq(FCell("CONCATENATE(A2)", "plain cached"))))))
+    assert(sheets.head.rows.map(_.cells.map(c => (c.cellType, c.value))) ==
+      Seq(Seq(("FORMULA", "shared cached")),
+        Seq(("FORMULA", "plain cached"))))
+  }
 }

@@ -128,4 +128,25 @@ class ZipRandomSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("prefix-padded (self-extracting) zips decode: offsets shifted by " +
+      "eocd - (cdOff + cdSize), like java.util.zip (ADVICE r05)") {
+    val plain = OoxmlSynth.docx(Seq(P.plain("prefixed zip payload")))
+    val padded = ("SFX STUB BYTES " * 5).getBytes("ISO-8859-1") ++ plain
+    val es = ZipRandom.entries(padded)
+    assert(es.map(_.name).toSet == ZipRandom.entries(plain).map(_.name).toSet)
+    for (e <- es) {
+      val want = ZipRandom.read(plain,
+        ZipRandom.entries(plain).find(_.name == e.name).get, Long.MaxValue)
+      assert(ZipRandom.read(padded, e, Long.MaxValue).sameElements(want),
+        e.name)
+    }
+    // java.util.zip agrees on the padded form
+    val tmp = java.nio.file.Files.createTempFile("graft_sfx", ".zip")
+    java.nio.file.Files.write(tmp, padded)
+    val zf = new java.util.zip.ZipFile(tmp.toFile)
+    try assert(zf.size() == es.size ||
+      zf.size() == ZipRandom.entries(plain).size)
+    finally { zf.close(); java.nio.file.Files.delete(tmp) }
+  }
 }
