@@ -54,6 +54,27 @@ object SparkEntry {
     else df
   }
 
+  /** One-scan self-duplication of a table head — the planted-dup fixture
+    * shared by the dedup/curation queries. Rows with `idCol < n` emit
+    * the original AND a mutated copy through a single explode; all other
+    * rows pass through once. Row-set identical to the old
+    * `df.unionByName(df.filter(idCol < n).select(mutated...))` form
+    * (oracle hash match at all SFs), but the source is scanned ONCE
+    * instead of twice (guide §2.4 — the union form paid a second scan
+    * plus a second small-input spread exchange in every query using it).
+    * `mut` overrides columns for the mutated copy; unlisted columns copy
+    * through.
+    */
+  private def selfDup(df: DataFrame, idCol: String, n: Int,
+      mut: Map[String, Column]): DataFrame = {
+    val cols = df.columns.toSeq
+    val orig = struct(cols.map(c => col(c).as(c)): _*)
+    val mutated = struct(cols.map(c => mut.getOrElse(c, col(c)).as(c)): _*)
+    df.select(explode(when(col(idCol) < n, array(orig, mutated))
+        .otherwise(array(orig))).as("_r"))
+      .select(cols.map(c => col("_r." + c).as(c)): _*)
+  }
+
   /** Persisted deterministic transcript table for the q26/q27 oracles:
     * BOTH sides read the same parquet — Spark runs the extraction kernel
     * over it, DuckDB independently re-derives the extracted text from the
@@ -159,12 +180,18 @@ object SparkEntry {
       // exact result-hash equality at all three SFs + the DuckDB
       // compare), so this scan spreads explicitly — the 11 MB
       // single-split file otherwise runs scan+joins+partial agg on one
-      // core
-      val li = t(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
-      val o = t(s, dir, "orders")
+      // core. The spread is keyed ON THE JOIN KEY (guide §2.4: a
+      // repartition("k") followed by a join on k shares one exchange),
+      // which also skips round-robin's sort-before-repartition; and the
+      // orders side takes a SHUFFLE_HASH hint (guide §3.1): at any real
+      // scale orders is not broadcastable next to lineitem, and locally
+      // the hint replaces a serial 1.5M-row driver broadcast build with
+      // a per-partition parallel hash build.
+      val p = s.sparkContext.defaultParallelism
+      val li = t(s, dir, "lineitem").repartition(p, col("l_orderkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
       val c = t(s, dir, "customer")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -206,7 +233,11 @@ object SparkEntry {
     }),
 
     "q06_window_top3" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      // the window needs hash(o_custkey): key the small-input spread on
+      // that (guide §2.4 — the window reuses the exchange) instead of
+      // t()'s round-robin spread followed by the window's own shuffle
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       o.withColumn("rk", row_number().over(w))
@@ -242,11 +273,14 @@ object SparkEntry {
     }),
 
     "q33_union_stats" -> ((s, dir) => {
-      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
-        .select(col("o_custkey").as("custkey"), lit("hi").as("tier"))
-      val lo = t(s, dir, "orders").filter(col("o_totalprice") <= 200000)
-        .select(col("o_custkey").as("custkey"), lit("lo").as("tier"))
-      hi.unionByName(lo).groupBy("tier")
+      // the hi/lo filters partition the table, so the two-branch union
+      // IS one scan with a CASE tier (guide §2.4: the union's second
+      // Exchange and second scan removed; same rows, oracle-proven)
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"),
+          when(col("o_totalprice") > 200000, lit("hi")).otherwise(lit("lo"))
+            .as("tier"))
+        .groupBy("tier")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("custkey")).as("n_cust"))
     }),
@@ -260,14 +294,23 @@ object SparkEntry {
     }),
 
     "q09_setops" -> ((s, dir) => {
+      // set-op semantics in ONE aggregation pass (guide §2.3/§2.4): the
+      // old intersect/except form ran TWO actions over four distinct
+      // shuffles; per-custkey status flags + one global conditional sum
+      // compute both counts in a single job with map-side partial aggs.
+      // Result proven identical to the intersect/except form (oracle
+      // hash match at all three SFs).
       val o = t(s, dir, "orders")
-      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
-      val p = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
-      val nBoth = f.intersect(p).count()
-      val nFOnly = f.except(p).count()
+      val st = o.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderstatus") === "F").as("_f"),
+          max(col("o_orderstatus") === "O").as("_o"))
+      val r = st.agg(
+        coalesce(sum(when(col("_f") && col("_o"), 1L)), lit(0L)),
+        coalesce(sum(when(col("_f") && !col("_o"), 1L)), lit(0L))).first()
       val s2 = s
       import s2.implicits._
-      Seq((nBoth, nFOnly)).toDF("n_both", "n_f_only")
+      Seq((r.getLong(0), r.getLong(1))).toDF("n_both", "n_f_only")
     }),
 
     "q10_asof_join" -> ((s, dir) => {
@@ -374,19 +417,20 @@ object SparkEntry {
     "q20_minhash_neardups" -> ((s, dir) => {
       // self-dup the head of documents so near-dup pairs exist at any sf
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra tail tokens")).as("text"))
-      Dedup.minhashNearDups(d.unionByName(mutated), "text", "doc_id",
-        threshold = 0.5)
+      Dedup.minhashNearDups(
+        selfDup(d, "doc_id", 50, Map(
+          "doc_id" -> (col("doc_id") + 1000000),
+          "text" -> concat(col("text"), lit(" extra tail tokens")))),
+        "text", "doc_id", threshold = 0.5)
     }),
 
     "q22_simhash_neardups" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text"))
-      Dedup.simhashNearDups(d.unionByName(mutated), "text", "doc_id")
+      Dedup.simhashNearDups(
+        selfDup(d, "doc_id", 50, Map(
+          "doc_id" -> (col("doc_id") + 1000000),
+          "text" -> concat(col("text"), lit(" zz")))),
+        "text", "doc_id")
     }),
 
     "q23_ann_lsh" -> ((s, dir) => {
@@ -409,10 +453,9 @@ object SparkEntry {
 
     "q24_cosine_neardups" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
-      val mutated = emb.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000).as("vec_id"),
-          col("embedding"), col("label"))
-      Similarity.cosineNearDups(emb.unionByName(mutated),
+      Similarity.cosineNearDups(
+        selfDup(emb, "vec_id", 20,
+          Map("vec_id" -> (col("vec_id") + 1000000))),
         "embedding", "vec_id", threshold = 0.99)
     }),
 
@@ -466,14 +509,13 @@ object SparkEntry {
 
     "q35_winnowing_neardups" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(lit("prefix words then "), col("text")).as("text"))
       // long k-grams: the synthetic docs share a small vocabulary, so
       // short grams collide across unrelated docs
       operators.Winnow.sharedFingerprintPairs(
-        d.unionByName(mutated), "text", "doc_id",
-        k = 24, w = 32, minShared = 8)
+        selfDup(d, "doc_id", 50, Map(
+          "doc_id" -> (col("doc_id") + 1000000),
+          "text" -> concat(lit("prefix words then "), col("text")))),
+        "text", "doc_id", k = 24, w = 32, minShared = 8)
     }),
 
     "q29_multimodal_features" -> ((s, dir) => {
@@ -629,11 +671,11 @@ object SparkEntry {
       // (equivalence with the pair-based construction pinned by
       // ComponentsSpec)
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra tail tokens")).as("text"))
-      Dedup.minhashNearDupGroups(d.unionByName(mutated), "text",
-        "doc_id", threshold = 0.5)
+      Dedup.minhashNearDupGroups(
+        selfDup(d, "doc_id", 50, Map(
+          "doc_id" -> (col("doc_id") + 1000000),
+          "text" -> concat(col("text"), lit(" extra tail tokens")))),
+        "text", "doc_id", threshold = 0.5)
     }),
 
     "q48_drop_near_dups" -> ((s, dir) => {
@@ -641,10 +683,9 @@ object SparkEntry {
       // rep-level transitive groups -> keep one doc per group (min id);
       // docs in no group pass through untouched
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra tail tokens")).as("text"))
-      val corpus = d.unionByName(mutated)
+      val corpus = selfDup(d, "doc_id", 50, Map(
+        "doc_id" -> (col("doc_id") + 1000000),
+        "text" -> concat(col("text"), lit(" extra tail tokens"))))
       Components.dropByGroupLabels(corpus,
           Dedup.minhashNearDupGroups(corpus, "text", "doc_id",
             threshold = 0.5), "doc_id")
@@ -654,9 +695,10 @@ object SparkEntry {
     "q54_exact_dup_groups" -> ((s, dir) => {
       // exact-dup group report over planted byte-identical copies
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val dup = d.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      Dedup.exactDupGroups(d.unionByName(dup), "text", "doc_id")
+      Dedup.exactDupGroups(
+          selfDup(d, "doc_id", 30,
+            Map("doc_id" -> (col("doc_id") + 1000000))),
+          "text", "doc_id")
         .select("keep_id", "n_dups")
     }),
 
@@ -664,9 +706,10 @@ object SparkEntry {
       // keep one representative per normalized text (min id wins) —
       // aggregate-then-join, mega-group-safe (no fingerprint window)
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val dup = d.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      Dedup.dropExactDups(d.unionByName(dup), "text", "doc_id")
+      Dedup.dropExactDups(
+          selfDup(d, "doc_id", 30,
+            Map("doc_id" -> (col("doc_id") + 1000000))),
+          "text", "doc_id")
         .select("doc_id")
     }),
 
@@ -719,11 +762,11 @@ object SparkEntry {
       // substring-level dup detection (Lee et al. ACL'22 reporting
       // half): positional 8-gram windows occurring in >1 document
       val d = t(s, dir, "documents").select("doc_id", "text")
-      val mutated = d.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(lit("prefix words then "), col("text")).as("text"))
-      Dedup.crossDocRepeatedWindows(d.unionByName(mutated), "text",
-          "doc_id", n = 8)
+      Dedup.crossDocRepeatedWindows(
+          selfDup(d, "doc_id", 50, Map(
+            "doc_id" -> (col("doc_id") + 1000000),
+            "text" -> concat(lit("prefix words then "), col("text")))),
+          "text", "doc_id", n = 8)
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -978,9 +1021,8 @@ object SparkEntry {
       // by ~|lang x source| groups)
       val d73 = t(s, dir, "documents").select("doc_id", "lang", "source",
         "text")
-      d73.unionByName(d73.filter(col("doc_id") < 30)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
-            col("source"), col("text")))
+      selfDup(d73, "doc_id", 30,
+          Map("doc_id" -> (col("doc_id") + 1000000)))
         .select(col("lang"), col("source"),
           graft.functions.TokenCount.tokenCount(col("text")).cast("long")
             .as("_tok"),
@@ -1012,11 +1054,10 @@ object SparkEntry {
       // pinning the COMPOSITION (stage order matters: domain verdicts
       // aggregate over the deduped corpus)
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
-      val dup = docs.filter(col("doc_id") < 30)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
-          col("text"))
-      val deduped =
-        Dedup.dropExactDups(docs.unionByName(dup), "text", "doc_id")
+      val deduped = Dedup.dropExactDups(
+        selfDup(docs, "doc_id", 30,
+          Map("doc_id" -> (col("doc_id") + 1000000))),
+        "text", "doc_id")
       val domained = operators.Curation.dropLowQualityDomains(deduped,
         "source", TextStats.qualityScore(col("text")), 0.8215, 10L)
       val sampled =
@@ -1044,10 +1085,19 @@ object SparkEntry {
         graft.sources.OoxmlCorpus.ensureCorruptZip(),
         graft.sources.OoxmlCorpus.ensureGarbage(),
         graft.sources.OoxmlCorpus.ensureDocx())
+      // scratch output + checkpoint on /dev/shm (the same RAM-backed
+      // scratch the bench's spark.local.dir uses): the micro-batch's
+      // parquet append + commit-log fsyncs are the stream's I/O floor,
+      // and /tmp is disk-backed here (guide §6). Result content is
+      // unaffected — these dirs are per-invocation scratch.
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val scratch =
+        if (java.nio.file.Files.isDirectory(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       val out = java.nio.file.Files
-        .createTempDirectory("graft_q79_out").toString
+        .createTempDirectory(scratch, "graft_q79_out").toString
       val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_q79_ckpt").toString
+        .createTempDirectory(scratch, "graft_q79_ckpt").toString
       // file streaming sources need an explicit schema; binaryFile's is
       // FIXED by the format (path, modificationTime, length, content —
       // BinaryFileFormat.schema), so state it literally instead of
@@ -1061,9 +1111,16 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType)))
-      val files = dirs
-        .map(d => s.readStream.format("binaryFile").schema(schema).load(d))
-        .reduce(_ unionByName _)
+      // ONE glob source instead of five unioned readStreams: the same
+      // file set, but one directory listing + one file-source log per
+      // micro-batch instead of five (guide §6 — listing cost scales
+      // with source count; the union form paid it 5x per trigger)
+      val parents = dirs.map(d => d.substring(0, d.lastIndexOf('/')))
+      require(parents.distinct.size == 1,
+        "corpus dirs must share a parent for the glob source")
+      val glob = parents.head + dirs.map(_.substring(parents.head.length + 1))
+        .mkString("/{", ",", "}")
+      val files = s.readStream.format("binaryFile").schema(schema).load(glob)
       val sink: (DataFrame, Long) => Unit =
         (batch, _) => batch.write.mode("append").parquet(out)
       val q = graft.streaming.StreamExtract.decodeStream(files)
@@ -1113,10 +1170,8 @@ object SparkEntry {
       // order on both engines). The oracle replays pivot selection,
       // argmin assignment and the drop rule in SQL, not a closed form.
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
-      val copies = emb.filter(col("vec_id") < 30)
-        .select((col("vec_id") + 1000000).as("vec_id"),
-          col("embedding"), col("label"))
-      val corpus = emb.unionByName(copies)
+      val corpus = selfDup(emb, "vec_id", 30,
+        Map("vec_id" -> (col("vec_id") + 1000000)))
       val pivots = operators.Similarity.samplePivots(
         corpus, "embedding", "vec_id", 16)
       operators.Similarity.semDedup(corpus, "embedding", "vec_id",

@@ -232,8 +232,11 @@ object Components {
       // plan from a LogicalRDD; on a real cluster configure a reliable
       // checkpoint dir (setCheckpointDir) and swap in .checkpoint() if
       // executor loss during the (short) loop must be survivable.
+      // lazy: the checksum action right below computes every partition,
+      // so it materializes the round's checkpoint as a side effect (the
+      // eager form paid a dedicated job per round)
       val next = moved.unionByName(own).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val nextSig = checksum(next)
       ls.unpersist()

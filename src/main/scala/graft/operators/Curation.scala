@@ -249,12 +249,15 @@ object Curation {
     val toks = df.select(col(idCol),
         explode(split(TextStats.normalize(col(textCol)), " ")).as("_tok"))
       .filter(col("_tok") =!= "")
-    // eager localCheckpoint, not persist: persist would pin the token
+    // LAZY localCheckpoint, not persist: persist would pin the token
     // counts in CacheManager for the session lifetime (ContextCleaner
     // does not collect cached plans — ADVICE r03); checkpoint blocks are
-    // dropped once the result frame is unreachable
+    // dropped once the result frame is unreachable. Lazy because the
+    // total-count action right below computes every partition and
+    // materializes the checkpoint as a side effect (one job instead of
+    // the eager form's materialize-then-count two).
     val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
     val result =
       if (total == 0L) {
@@ -302,7 +305,7 @@ object Curation {
         explode(split(TextStats.normalize(col(textCol)), " ")).as("_tok"))
       .filter(col("_tok") =!= "")
     val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true) // same lifecycle rationale as unigramLogProb
+      .localCheckpoint(false) // same lifecycle+laziness as unigramLogProb
     val total = counts.agg(coalesce(sum("_c"), lit(0L))).first().getLong(0)
     if (total == 0L)
       return df.select(col(idCol), lit(0.0).as("bigram_logprob"),
@@ -310,6 +313,12 @@ object Curation {
     val vocabDf = counts.orderBy(col("_c").desc, col("_tok")).limit(vocab)
       .select(col("_tok"), col("_c").as("_c1"),
         (col("_c").cast("double") / total).as("_p1"))
+    // materialized ONCE (eager localCheckpoint, [[Dedup.collapse]]
+    // lifecycle): `pairs` feeds BOTH the bigram-count aggregate and the
+    // scoring join — unmaterialized, each consumer re-ran the full
+    // normalize+split+zip+explode over the corpus text (guide §1.2:
+    // don't compute things twice). The checkpointed rows are narrow
+    // (id, w1, w2) triples.
     val pairs = df.select(col(idCol),
         Dedup.bindOnce(split(TextStats.normalize(col(textCol)), " "), tk =>
           when(size(tk) >= 2,
@@ -362,17 +371,28 @@ object Curation {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val termArr = array(terms.map(lit): _*)
-    val docs = df.select(col(idCol),
-      split(TextStats.normalize(col(textCol)), " ").as("_tk"))
-    val lens = docs.select(col(idCol),
-      size(filter(col("_tk"), t => t =!= "")).as("_len"))
-    val stats = lens.agg(count(lit(1)).as("n"),
+    // ONE tokenize pass (guide §1.2/§2.3): the old shape re-derived the
+    // token array in three separate scans (corpus stats, hit extraction,
+    // and the per-doc length rejoin — each re-running normalize+split
+    // over the full text). This projects the narrow per-doc summary
+    // (id, len, query-term hits) in a single scan and materializes it
+    // (eager localCheckpoint, the [[Dedup.collapse]] lifecycle
+    // discipline) for its three consumers. The checkpoint rows are
+    // ~tens of bytes per doc (hits are query terms only), so at corpus
+    // scale this trades a cheap cache for two full text scans.
+    val base = df.select(col(idCol),
+        Dedup.bindOnce(split(TextStats.normalize(col(textCol)), " "), tk =>
+          struct(
+            size(filter(tk, t => t =!= "")).as("len"),
+            filter(tk, t => array_contains(termArr, t)).as("hits")))
+          .as("_s"))
+      .select(col(idCol), col("_s.len").as("_len"), col("_s.hits").as("_h"))
+      .localCheckpoint(false) // lazy: the stats action materializes it
+    val stats = base.agg(count(lit(1)).as("n"),
       avg("_len").as("avgLen")).first()
     val n = stats.getLong(0)
     val avgLen = stats.getDouble(1)
-    val hits = docs.select(col(idCol),
-        explode(filter(col("_tk"), t => array_contains(termArr, t)))
-          .as("_term"))
+    val hits = base.select(col(idCol), explode(col("_h")).as("_term"))
       .groupBy(idCol, "_term").agg(count(lit(1)).as("_tf"))
     val dfT = hits.groupBy("_term").agg(count(lit(1)).as("_df"))
       .select(col("_term"),
@@ -380,7 +400,7 @@ object Curation {
           .as("_idf"))
     hits
       .join(broadcast(dfT), "_term")
-      .join(lens, idCol)
+      .join(base.select(col(idCol), col("_len")), idCol)
       .select(col(idCol),
         (col("_idf") * col("_tf") * (k1 + 1) /
           (col("_tf") + lit(k1) * (lit(1.0 - b) +

@@ -74,8 +74,10 @@ object Dedup {
   /** Result of [[collapse]]: `reps` is backed by the MATERIALIZED
     * collapse aggregate (every downstream scan — banding, verify rejoin,
     * eligibility — reads the checkpointed blocks instead of recomputing
-    * the collapse shuffle). Materialization is an eager
-    * `localCheckpoint`, NOT `Dataset.persist`: persist registers the
+    * the collapse shuffle). Materialization is a lazy
+    * `localCheckpoint` (the count action right after computes every
+    * partition, so it doubles as the materializer), NOT
+    * `Dataset.persist`: persist registers the
     * plan in CacheManager, which holds it for the SESSION lifetime
     * unless explicitly unpersisted (ContextCleaner never collects it),
     * so every operator invocation would leak a cached copy of the
@@ -107,10 +109,15 @@ object Dedup {
     * feeds auto-sized LSH keyspaces. Input columns: (id, gk, payload).
     */
   private[operators] def collapse(keyed: DataFrame): Collapsed = {
+    // LAZY localCheckpoint (see Collapsed scaladoc for why not persist):
+    // the counts action right below computes every partition anyway, so
+    // it materializes the checkpoint as a side effect — the eager form
+    // ran a dedicated materialization job first, one extra full pass of
+    // stage latency per operator invocation (guide §1.2: fewer passes)
     val agg = keyed.groupBy("gk").agg(min("id").as("rep"),
         min_by(col("payload"), col("id")).as("payload"),
         count(lit(1)).as("_n"))
-      .localCheckpoint(true) // eager; see Collapsed scaladoc for why not persist
+      .localCheckpoint(false)
     val counts = agg.select(count(lit(1)).as("k"),
       coalesce(sum("_n"), lit(0L)).as("n")).first()
     val (nReps, nRows) = (counts.getLong(0), counts.getLong(1))
@@ -260,17 +267,26 @@ object Dedup {
       .select(col("id"), md5(col("_w")).as("_wk"))
     val perDocKey = wins.groupBy("id", "_wk")
       .agg(count(lit(1)).as("_m"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: its two consumers are CONCURRENT
+      // AQE stages — lazy would lose the compute-once guarantee
     val crossKeys = perDocKey.groupBy("_wk")
       .agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= 2)
-      .select("_wk")
-    val totals = perDocKey.groupBy("id").agg(sum("_m").as("n_windows"))
-    val dups = perDocKey.join(crossKeys, Seq("_wk"), "left_semi")
-      .groupBy("id").agg(sum("_m").as("n_dup_windows"))
-    totals.join(dups, Seq("id"), "left")
-      .select(col("id"), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .select(col("_wk"), lit(true).as("_x"))
+    // ONE left join + ONE per-doc aggregate compute both counts (guide
+    // §2.3 "aggregate before you shuffle" / §2.4 shared exchange): the
+    // old shape ran a totals aggregate, a semi-join + dups aggregate,
+    // and a totals-left-join-dups — three shuffles over the same
+    // (id, _wk, _m) frame. The cross-doc flag join is unchanged in
+    // shape (aggregated side has one row per key — AQE-skew-splittable),
+    // and n_windows / n_dup_windows are conditional sums of the same
+    // rows, so the result is row-identical (q51 oracle hash match).
+    perDocKey.join(crossKeys, Seq("_wk"), "left")
+      .groupBy("id")
+      .agg(sum("_m").as("n_windows"),
+        coalesce(sum(when(col("_x"), col("_m"))), lit(0L))
+          .as("n_dup_windows"))
+      .select("id", "n_windows", "n_dup_windows")
   }
 
   /** Cross-document repeated-window REMOVAL — the rewrite half of

@@ -425,7 +425,7 @@ object Similarity {
       .withColumn("_vd", col(vecCol).cast("array<double>"))
       .withColumn("_nrm", l2norm(col("_vd")))
       .drop(vecCol) // _vd supersedes it; halves the checkpoint bytes
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: window + join stages run concurrently
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("list_id").orderBy(col(idCol))
     val keepers = assigned
