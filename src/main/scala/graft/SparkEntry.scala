@@ -190,7 +190,10 @@ object SparkEntry {
       val p = s.sparkContext.defaultParallelism
       val li = t(s, dir, "lineitem").repartition(p, col("l_orderkey"))
       val o = s.read.parquet(s"$dir/orders.parquet")
-      val c = t(s, dir, "customer")
+      // broadcast sides read RAW: t()'s small-input spread is a wasted
+      // exchange inside a broadcast build (the relation is collected
+      // driver-side regardless of its partitioning)
+      val c = s.read.parquet(s"$dir/customer.parquet")
       li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
@@ -202,9 +205,10 @@ object SparkEntry {
 
     "q03_region_revenue" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
+      // broadcast sides read raw (no spread exchange inside the build)
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -215,7 +219,8 @@ object SparkEntry {
 
     "q04_semi_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      // the semi join's build side broadcasts: raw read, no spread
+      val o = s.read.parquet(s"$dir/orders.parquet")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
@@ -224,8 +229,10 @@ object SparkEntry {
 
     "q05_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
-      val n = t(s, dir, "nation")
+      // the anti join's build side broadcasts: raw read, no spread
+      val hi = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 300000)
+      val n = s.read.parquet(s"$dir/nation.parquet") // broadcast side: raw
       c.join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -247,8 +254,9 @@ object SparkEntry {
 
     "q07_rollup" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
+      // broadcast sides read raw (no spread exchange inside the build)
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
       c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))

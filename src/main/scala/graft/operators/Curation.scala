@@ -313,12 +313,12 @@ object Curation {
     val vocabDf = counts.orderBy(col("_c").desc, col("_tok")).limit(vocab)
       .select(col("_tok"), col("_c").as("_c1"),
         (col("_c").cast("double") / total).as("_p1"))
-    // materialized ONCE (eager localCheckpoint, [[Dedup.collapse]]
-    // lifecycle): `pairs` feeds BOTH the bigram-count aggregate and the
-    // scoring join — unmaterialized, each consumer re-ran the full
-    // normalize+split+zip+explode over the corpus text (guide §1.2:
-    // don't compute things twice). The checkpointed rows are narrow
-    // (id, w1, w2) triples.
+    // `pairs` feeds BOTH the bigram-count aggregate and the scoring
+    // join, so each consumer re-derives it. Deliberately NOT
+    // checkpointed: materializing it measured a wash at smoke scale
+    // (checkpoint job + cache write ≈ the second derivation) and at
+    // corpus scale would cache ~2x the text bytes to save one narrow
+    // codegen scan.
     val pairs = df.select(col(idCol),
         Dedup.bindOnce(split(TextStats.normalize(col(textCol)), " "), tk =>
           when(size(tk) >= 2,
