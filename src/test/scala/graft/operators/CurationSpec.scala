@@ -239,6 +239,26 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out2(1L) - out(1L)) < 1e-12)
   }
 
+  test("bm25 corpus stats include zero-token docs (r06 single-scan guard)") {
+    // the r06 rewrite derives N/avgLen, hits and lengths from ONE
+    // projection; an empty doc must still count into N and avgLen
+    // (len 0) exactly as the old three-scan form did
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "window window"), (2L, "window other"),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val out = Curation.bm25(df, "text", "doc_id", Seq("window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=4 (empty/blank docs counted), lens 2/2/0/0 -> avgLen=1.0;
+    // df(window)=2
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+    val d1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 2.0 / 1.0))
+    val d2 = idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 1.0))
+    assert(math.abs(out(1L) - d1) < 1e-9, out.toString)
+    assert(math.abs(out(2L) - d2) < 1e-9, out.toString)
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
+
   test("mixtureSample keeps each stratum near its fraction, drops unlisted") {
     val s = spark
     import s.implicits._

@@ -444,4 +444,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(!Dedup.crossDocRepeatedWindows(docs(9L -> "too short"),
       "text", "doc_id", n = 5).collect().map(_.getLong(0)).contains(9L))
   }
+
+  test("crossDocRepeatedWindows weights dup windows by multiplicity") {
+    // r06 rewrite guard (one join + one conditional-sum aggregate): a
+    // window occurring TWICE in one doc and also in another doc must
+    // count BOTH occurrences into n_dup_windows (the sum runs over the
+    // per-(doc, key) multiplicity _m, not over distinct keys)
+    val d = docs(
+      1L -> "p q r s t",
+      2L -> "p q r s t x p q r s t")
+    val got = Dedup.crossDocRepeatedWindows(d, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: one window, shared with doc2 -> (1, 1)
+    // doc2: 7 positional windows, "p q r s t" occurs at positions 0 and
+    // 6 (multiplicity 2) and is cross-doc -> (7, 2); the other 5
+    // windows are doc2-only
+    assert(got(1L) == ((1L, 1L)), got.toString)
+    assert(got(2L) == ((7L, 2L)), got.toString)
+  }
 }
