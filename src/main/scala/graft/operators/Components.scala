@@ -98,8 +98,17 @@ object Components {
     val edges = canonicalEdges(pairs, idACol, idBCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = edges.count()
-      if (n <= threshold) localLabels(spark, edges.collect().map(r =>
+      // ONE bounded collect decides the path AND delivers the edges
+      // (guide §1.2): limit(threshold+1) returns the WHOLE edge set
+      // when it fits (driver memory bounded by the threshold either
+      // way) and exactly threshold+1 rows when it does not — the old
+      // count()-then-collect() shape paid a full count job first, which
+      // at scale is strictly more work than an early-terminating limit.
+      // (threshold is clamped to Int.MaxValue-2: a larger local-path
+      // budget would not fit an Array anyway)
+      val effT = math.min(threshold, (Int.MaxValue - 2).toLong).toInt
+      val probe = edges.limit(effT + 1).collect()
+      if (probe.length <= effT) localLabels(spark, probe.map(r =>
         (r.getLong(0), r.getLong(1))))
       else distributedLabels(edges, maxRounds)._1
     } finally edges.unpersist()
