@@ -64,8 +64,10 @@ object Components {
     * label — deterministic and stable under repartitioning).
     *
     * Execution is SIZE-ADAPTIVE (guide §1.2: the distributed algorithm
-    * is the lever): the canonical distinct edge set is counted first,
-    * and a graph at-or-under `spark.graft.cc.localEdgeThreshold` edges
+    * is the lever): one bounded limit-collect probes the canonical
+    * distinct edge set (delivering it whole when it fits, terminating
+    * early when it does not — no separate count job), and a graph
+    * at-or-under `spark.graft.cc.localEdgeThreshold` edges
     * (default 2^22 ≈ 67 MB of (long, long) rows — comfortably
     * driver-sized, the same bounded-collect discipline as broadcast
     * joins and [[Similarity.samplePivots]]) is labeled by one driver
